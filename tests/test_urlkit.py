@@ -1,0 +1,121 @@
+"""Byte-level URL / hash contracts (SURVEY.md §2.9, F1-F4, F11, F13)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbcrawl_spark import urlkit
+
+
+class TestRel2Abs:
+    """Reference rel2absURL quirks (/root/reference/libcrawl/util_url.go:30-49):
+    path-relative links root at the HOST, not the page directory."""
+
+    @pytest.mark.parametrize(
+        "page,link,expected",
+        [
+            # no-leading-slash path roots at host (the non-urljoin quirk)
+            ("http://h/t/p1", "a/b.jpg", "http://h/a/b.jpg"),
+            # port dropped (Hostname())
+            ("http://h:8080/t/p1", "a/b.jpg?x=1", "http://h/a/b.jpg?x=1"),
+            # leading-slash path
+            ("https://ex.com/board/t5", "/attach/77", "https://ex.com/attach/77"),
+            # query preserved, fragment dropped (RequestURI has no fragment)
+            ("http://h/t", "x.png?a=1&b=2#frag", "http://h/x.png?a=1&b=2"),
+            # empty path -> "/"
+            ("http://h/t", "?q=1", "http://h/?q=1"),
+        ],
+    )
+    def test_relative(self, page, link, expected):
+        assert urlkit.rel2abs(page, link) == expected
+
+    def test_absolute_passthrough(self):
+        assert (
+            urlkit.rel2abs("http://h/t", "https://other:99/k.gif?z=1")
+            == "https://other:99/k.gif?z=1"
+        )
+
+
+class TestFileName:
+    """fileNameFromURL / smallestSubstrRight (util_url.go:13-19, util_string.go:10-16)."""
+
+    @pytest.mark.parametrize(
+        "url,expected",
+        [
+            ("http://h/a/b/pic.jpg", "pic.jpg"),
+            ("http://h/a/b/", ""),  # path ends in '/'
+            ("http://h", ""),  # empty path
+            ("http://h/onefile", "onefile"),
+        ],
+    )
+    def test_filename(self, url, expected):
+        assert urlkit.file_name_from_url(url) == expected
+
+    def test_smallest_substr_right_no_match_returns_whole(self):
+        # Go quirk: li = -1 -> s[0:] = whole string
+        assert urlkit.smallest_substr_right("abc", "/") == "abc"
+
+    def test_smallest_substr_right_trailing_delim(self):
+        assert urlkit.smallest_substr_right("abc/", "/") == ""
+
+
+class TestQueryEncode:
+    """Go url.Values.Encode parity (pagers.go:40-45): sorted keys,
+    QueryEscape values (space->'+', uppercase hex)."""
+
+    def test_sorted_keys(self):
+        q = urlkit.parse_query("b=2&a=1&page=9")
+        assert urlkit.query_encode(q) == "a=1&b=2&page=9"
+
+    def test_escape(self):
+        assert urlkit.query_escape("a b/c:d") == "a+b%2Fc%3Ad"
+        assert urlkit.query_escape("ö") == "%C3%B6"
+
+    def test_multi_values_kept_in_order(self):
+        q = urlkit.parse_query("k=2&k=1")
+        assert urlkit.query_encode(q) == "k=2&k=1"
+
+
+class TestBaseURL:
+    def test_base_url_only(self):
+        assert urlkit.base_url_only("https://ex.com:444/p?q=1") == "https://ex.com"
+
+    def test_url_for_pager_rejects(self):
+        with pytest.raises(ValueError):
+            urlkit.url_for_pager("ftp://h/x")
+        with pytest.raises(ValueError):
+            urlkit.url_for_pager("/relative/only")
+
+
+class TestCanonicalize:
+    def test_canonical(self):
+        assert urlkit.canonicalize("HTTP://Ex.COM:80/A?b=1#f") == "http://ex.com/A?b=1"
+        assert urlkit.canonicalize("https://h:443") == "https://h/"
+
+    def test_idempotent(self):
+        for u in ["http://ex.com/a/b?x=1", "https://H:8443/p", "http://h"]:
+            c = urlkit.canonicalize(u)
+            assert urlkit.canonicalize(c) == c
+
+
+class TestXXHash64Parity:
+    """Our pure-Python xxhash64 must be bit-identical to Spark's builtin
+    (seed 42 over UTF-8 bytes) — the oracle and the engine share url_hash."""
+
+    def test_against_spark(self, spark):
+        samples = [
+            "",
+            "a",
+            "abc",
+            "http://ex.com/thread/1",
+            "x" * 31,
+            "y" * 32,
+            "z" * 100,
+            "http://h/päge?q=ü",
+            "0123456789abcdef0123456789abcdef0123456789",
+        ]
+        df = spark.createDataFrame([(s,) for s in samples], "s string")
+        got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+        for s in samples:
+            assert urlkit.xxhash64(s) == got[s], f"xxhash64 mismatch for {s!r}"
