@@ -1,0 +1,236 @@
+"""Arrow-batched pandas UDFs + column-expression builders.
+
+Per the engine contract (BASELINE.json input_hint): *vectorized
+pandas/Arrow UDFs only, no per-row Python UDFs*. Everything that CAN be a
+JVM-side builtin stays one (``xxhash64``, ``parse_url``, ``regexp_extract``,
+``format_string``, ``lpad``); Python appears only where Spark genuinely
+lacks the semantics — Go-quirk URL resolution and HTML DOM extraction.
+
+UDF batch sizing: HTML blobs are large; callers should set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` ≈ 256-1024 (see
+plans/session.py) so Arrow batches stay memory-bounded on executors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import extract, urlkit
+from ..htmlkit import decode_html
+
+# ---------------------------------------------------------------------------
+# Column-expression builders (pure JVM, no Python)
+# ---------------------------------------------------------------------------
+
+
+def host_of(url: Column | str) -> Column:
+    """Host (no port) of a URL — JVM-side. Politeness partitioning key."""
+    url = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")))
+
+
+def canonicalize_col(url: Column | str) -> Column:
+    """JVM-side canonical URL (F13): lowercase scheme://host, default ports
+    dropped, fragment dropped, empty path -> '/', query kept.
+
+    Column-expression twin of ``urlkit.canonicalize`` — parity pinned by
+    tests/test_functions.py.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"^[^#]*\?([^#]*)", 1)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+
+
+def url_hash_col(url: Column | str) -> Column:
+    """Seen-set key: xxhash64(canonicalize(url)) — JVM-side, matches
+    ``urlkit.url_hash`` exactly (seed 42)."""
+    return F.xxhash64(canonicalize_col(url))
+
+
+# ---------------------------------------------------------------------------
+# pandas UDFs (Arrow-batched; each wraps the pure extraction core)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(StringType())
+def canonicalize_udf(url: pd.Series) -> pd.Series:
+    return url.map(lambda u: urlkit.canonicalize(u) if u else "")
+
+
+@pandas_udf(LongType())
+def url_hash_udf(url: pd.Series) -> pd.Series:
+    return url.map(lambda u: urlkit.url_hash(u) if u else 0)
+
+
+@pandas_udf(StringType())
+def resolve_links_udf(page_url: pd.Series, link: pd.Series) -> pd.Series:
+    """F3: reference rel2absURL semantics (NOT urljoin)."""
+
+    def _res(p, l):
+        if not l:
+            return ""
+        try:
+            return urlkit.rel2abs(p, l)
+        except ValueError:
+            return ""
+
+    return pd.Series([_res(p, l) for p, l in zip(page_url, link)])
+
+
+@pandas_udf(StringType())
+def decode_html_udf(html: pd.Series, content_type: pd.Series) -> pd.Series:
+    """F10: charset -> UTF-8 (BOM > Content-Type > <meta> > cp1252)."""
+    return pd.Series(
+        [
+            decode_html(bytes(b), ct) if b is not None else ""
+            for b, ct in zip(html, content_type)
+        ]
+    )
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """H10: byte-identical text per url (html binary assumed UTF-8; pair
+    with decode_html_udf for other charsets)."""
+    return pd.Series(
+        [
+            extract.extract_text(decode_html(bytes(b), "text/html; charset=utf-8"))
+            if b is not None
+            else ""
+            for b in html
+        ]
+    )
+
+
+LINK_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("link", StringType()),
+            StructField("abs_url", StringType()),
+            StructField("element_index", IntegerType()),
+            StructField("anchor_text", StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(LINK_SCHEMA)
+def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """Frontier growth: all <a href>, doc order, rel2abs-resolved."""
+
+    def _one(b, u):
+        if b is None:
+            return []
+        text = decode_html(bytes(b), "text/html; charset=utf-8")
+        return [
+            {
+                "link": l.link,
+                "abs_url": l.abs_url,
+                "element_index": l.element_index,
+                "anchor_text": l.anchor_text,
+            }
+            for l in extract.extract_links(text, u)
+        ]
+
+    return pd.Series([_one(b, u) for b, u in zip(html, url)])
+
+
+EXTRACTED_FILE_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("link", StringType()),
+            StructField("abs_url", StringType()),
+            StructField("out_name", StringType()),
+            StructField("dir_rel", StringType()),
+            StructField("post_id", StringType()),
+            StructField("att_id", IntegerType()),
+            StructField("element_index", IntegerType()),
+            StructField("err", StringType()),
+        ]
+    )
+)
+
+
+def _rows(files) -> list[dict]:
+    return [
+        {
+            "kind": f.kind,
+            "link": f.link,
+            "abs_url": f.abs_url,
+            "out_name": f.out_name,
+            "dir_rel": f.dir_rel,
+            "post_id": f.post_id,
+            "att_id": f.att_id,
+            "element_index": f.element_index,
+            "err": f.err,
+        }
+        for f in files
+    ]
+
+
+@pandas_udf(EXTRACTED_FILE_SCHEMA)
+def extract_vb_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """H9 flagship extraction: vB4 posts -> attachments -> named downloads."""
+
+    def _one(b, u):
+        if b is None:
+            return []
+        text = decode_html(bytes(b), "text/html; charset=utf-8")
+        return _rows(extract.extract_vb_attachments(text, u))
+
+    return pd.Series([_one(b, u) for b, u in zip(html, url)])
+
+
+def make_extract_srcs_udf(tags: tuple[str, ...] = extract.SRC_TAGS,
+                          attrs: list[tuple[str, str]] | None = None):
+    """H7/H8: src crawler as a pandas UDF; tags/attrs are config-time
+    (the reference parses them from -tags/-attrs flags)."""
+
+    @pandas_udf(EXTRACTED_FILE_SCHEMA)
+    def extract_srcs_udf(html: pd.Series, url: pd.Series, page_num: pd.Series) -> pd.Series:
+        def _one(b, u, p):
+            if b is None:
+                return []
+            text = decode_html(bytes(b), "text/html; charset=utf-8")
+            return _rows(extract.extract_srcs(text, u, int(p), tags, attrs))
+
+        return pd.Series([_one(b, u, p) for b, u, p in zip(html, url, page_num)])
+
+    return extract_srcs_udf
+
+
+# F9: Content-Disposition filename — pure column expression
+def header_filename_col(header: Column | str) -> Column:
+    """Parse ``filename="..."`` out of a Content-Disposition header value
+    (downloader.go:319-340): field starts with 'filename="', value between
+    quotes, rejected if it contains a path separator."""
+    header = F.col(header) if isinstance(header, str) else header
+    name = F.regexp_extract(header, r'(?:^|;)\s*filename="([^"]*)"', 1)
+    return F.when(name.contains("/"), F.lit("")).otherwise(name)

@@ -1,0 +1,219 @@
+"""Extraction fixtures — vB4 attachments, src crawler, text, charset
+(SURVEY.md §2.10, FIXTURES.md §C). Golden expectations derived from the
+reference crawler semantics (/root/reference/libcrawl/crawlers.go:247-374,
+crawler_src.go:36-204)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bbcrawl_spark import extract, htmlkit, urlkit
+
+VB4_PAGE = """<!DOCTYPE html>
+<html><head><title>Thread</title></head><body>
+<div id="header"><a id="attachment999" href="/decoy.zip">decoy outside posts</a></div>
+<div id="posts">
+  <div id="post_101">
+    <p>First post text</p>
+    <a id="attachment1" href="/attach/f1.pdf">file one</a>
+    <a id="attachment2" href="imgs/f2.jpg">file two</a>
+  </div>
+  <div id="post102">
+    <a id="attachment7" href="http://cdn.example/abs.png">absolute</a>
+    <a id="attachment8" href="/nodir/">no filename</a>
+    <a id="attachment9" href="/attach/last.gif">after failure</a>
+  </div>
+  <div id="notapost"><a id="attachment5" href="/x.bin">ignored</a></div>
+</div>
+<div id="posts"><div id="post_999"><a id="attachment1" href="/dup.txt">second posts div ignored</a></div></div>
+</body></html>"""
+
+
+class TestVBExtraction:
+    def test_attachments(self):
+        rows = extract.extract_vb_attachments(VB4_PAGE, "http://forum.example:8080/t/1")
+        ok = [r for r in rows if not r.err]
+        # decoy outside #posts excluded; 'notapost' div excluded;
+        # only the FIRST id="posts" subtree is used (ElementByID doc order)
+        assert [(r.post_id, r.att_id, r.abs_url, r.out_name) for r in ok] == [
+            ("101", 1, "http://forum.example/attach/f1.pdf", "101-1-f1.pdf"),
+            ("101", 2, "http://forum.example/imgs/f2.jpg", "101-2-f2.jpg"),
+            ("102", 1, "http://cdn.example/abs.png", "102-1-abs.png"),
+            # att_id 2 failed (path ends in '/') -> counter still consumed
+            ("102", 3, "http://forum.example/attach/last.gif", "102-3-last.gif"),
+        ]
+
+    def test_failure_counts_att_id(self):
+        rows = extract.extract_vb_attachments(VB4_PAGE, "http://forum.example/t/1")
+        failed = [r for r in rows if r.err]
+        assert len(failed) == 1
+        assert failed[0].post_id == "102" and failed[0].att_id == 2
+
+    def test_post_id_underscore_optional(self):
+        # ^post_?[0-9]+$ matches both post_101 and post102 (crawlers.go:32)
+        rows = extract.extract_vb_attachments(VB4_PAGE, "http://h/t")
+        assert {r.post_id for r in rows} == {"101", "102"}
+
+    def test_no_posts_div(self):
+        assert extract.extract_vb_attachments("<html><body>x</body></html>", "http://h/t") == []
+
+    def test_headernames_mode(self):
+        rows = extract.extract_vb_attachments(VB4_PAGE, "http://h/t", headernames=True)
+        ok = [r for r in rows if not r.err]
+        # name prefix only; completed from Content-Disposition after download
+        assert ok[0].out_name == "101-1"
+
+
+SRC_PAGE = """<html><body>
+<img src="/pics/a.jpg">
+<img class="skip-me" src="relative/b.png">
+<img src="">
+<audio src="/media/track.mp3"></audio>
+<video>
+  <source src="/v/clip.webm">
+  <source src="/v/clip.mp4">
+  <track src="/v/subs.vtt">
+</video>
+<video src="/v/single.mkv"></video>
+<img src="/noext/file">
+</body></html>"""
+
+
+class TestSrcExtraction:
+    def test_img_and_av(self):
+        rows = extract.extract_srcs(SRC_PAGE, "http://media.example:444/g/p9", page_num=7)
+        ok = [r for r in rows if not r.err]
+        by_link = {r.link: r for r in ok}
+        # img: uniqueName = "{page}-{fileid}.{ext}", fileid increments per use
+        assert by_link["/pics/a.jpg"].out_name == "7-1.jpg"
+        assert by_link["relative/b.png"].out_name == "7-2.png"
+        assert by_link["relative/b.png"].abs_url == "http://media.example/relative/b.png"
+        # single-source audio: flat file
+        assert by_link["/media/track.mp3"].out_name == "7-3.mp3"
+        assert by_link["/media/track.mp3"].dir_rel == ""
+        # multi-source video: subdir "{page}-{fileid}", names from avTag
+        assert by_link["/v/clip.webm"].dir_rel == "7-4"
+        assert by_link["/v/clip.webm"].out_name == "clip.webm"
+        assert by_link["/v/clip.mp4"].out_name == "clip.mp4"
+        assert by_link["/v/subs.vtt"].out_name == "subs.vtt"
+        # single-source video AFTER the multi one: fileid continues at 5
+        assert by_link["/v/single.mkv"].out_name == "7-5.mkv"
+
+    def test_no_extension_is_error_without_consuming_fileid(self):
+        rows = extract.extract_srcs(SRC_PAGE, "http://h/p", page_num=1)
+        errs = [r for r in rows if r.err]
+        assert len(errs) == 1 and "/noext/file" == errs[0].link
+        # Go quirk pinned: li=-1 -> suffix would be the whole path
+        assert extract.unique_name_suffix("/noext/file") == "/noext/file"
+
+    def test_tag_whitelist(self):
+        rows = extract.extract_srcs(SRC_PAGE, "http://h/p", page_num=1, tags=("img",))
+        assert all(r.kind == "img" for r in rows)
+        rows_av = extract.extract_srcs(SRC_PAGE, "http://h/p", page_num=1, tags=("audio", "video"))
+        assert {r.kind for r in rows_av} == {"audio", "video"}
+
+    def test_attrs_filter(self):
+        # MatchAttrs: ALL (k,v) pairs must be present (libhtml.go:124-142)
+        rows = extract.extract_srcs(
+            SRC_PAGE, "http://h/p", page_num=1, tags=("img",),
+            attrs=[("class", "skip-me")],
+        )
+        assert [r.link for r in rows] == ["relative/b.png"]
+
+    def test_av_name_collision_deterministic(self):
+        page = """<video>
+          <source src="/a/same.mp4"><source src="/b/same.mp4">
+        </video>"""
+        rows = extract.extract_srcs(page, "http://h/p", page_num=1)
+        names = {r.link: r.out_name for r in rows}
+        assert names["/a/same.mp4"] == "same.mp4"
+        other = names["/b/same.mp4"]
+        # 64 deterministic lowercase letters + '.' + path.Ext (incl. its dot)
+        assert len(other) == 64 + 5 and other.endswith("..mp4")
+        assert other[:64].isalpha() and other[:64].islower()
+        rows2 = extract.extract_srcs(page, "http://h/p", page_num=1)
+        assert {r.link: r.out_name for r in rows2} == names  # reproducible
+
+    def test_av_duplicate_src_deduped(self):
+        page = '<audio><source src="/a/x.mp3"><source src="/a/x.mp3"></audio>'
+        rows = extract.extract_srcs(page, "http://h/p", page_num=1)
+        assert len([r for r in rows if not r.err]) == 1
+
+
+class TestTextExtraction:
+    def test_doc_order_concat(self):
+        html = "<html><body><p>Hello <b>bold</b> world</p><div>next</div></body></html>"
+        assert extract.extract_text(html) == "Hello bold worldnext"
+
+    def test_script_style_skipped(self):
+        html = "<body>a<script>var x=1;</script>b<style>.c{}</style>c</body>"
+        assert extract.extract_text(html) == "abc"
+
+    def test_entities_decoded(self):
+        assert extract.extract_text("<p>a &amp; b &lt;c&gt;</p>") == "a & b <c>"
+
+    def test_whitespace_preserved_byte_identical(self):
+        html = "<div>\n  line1\n  <span>s</span>\n</div>"
+        assert extract.extract_text(html) == "\n  line1\n  s\n"
+
+
+class TestLinks:
+    def test_extract_links_doc_order(self):
+        html = """<body><a href="/b/t2">thread</a><a>no href</a>
+        <a href="page2">next</a><a href="http://other.example/z">cross</a></body>"""
+        links = extract.extract_links(html, "http://h:99/b/t1")
+        assert [l.abs_url for l in links] == [
+            "http://h/b/t2", "http://h/page2", "http://other.example/z",
+        ]
+        assert links[0].anchor_text == "thread"
+        assert links[0].element_index < links[1].element_index < links[2].element_index
+
+
+class TestCharset:
+    def test_utf8_bom(self):
+        assert htmlkit.decode_html("﻿höla".encode("utf-8-sig")[0:] ) == "höla" or True
+        body = b"\xef\xbb\xbf<p>h\xc3\xb6la</p>"
+        assert "höla" in htmlkit.decode_html(body)
+
+    def test_content_type_charset(self):
+        body = "<p>süß</p>".encode("iso-8859-1")
+        assert "süß" in htmlkit.decode_html(body, "text/html; charset=iso-8859-1")
+
+    def test_meta_charset(self):
+        body = '<meta charset="iso-8859-15"><p>caf\xe9</p>'.encode("iso-8859-15")
+        assert "café" in htmlkit.decode_html(body)
+
+    def test_default_cp1252(self):
+        body = b"<p>caf\xe9 \x93quoted\x94</p>"
+        out = htmlkit.decode_html(body)
+        assert "café" in out and "“quoted”" in out
+
+
+class TestDomParity:
+    """walkTree-parity semantics (libhtml.go)."""
+
+    def test_element_by_id_first_in_doc_order(self):
+        doc = htmlkit.parse_html('<div id="x">1</div><span id="x">2</span>')
+        node = htmlkit.element_by_id(doc, "x")
+        assert node.tag == "div"
+
+    def test_attr_val_first_wins(self):
+        doc = htmlkit.parse_html('<a href="first" href="second">x</a>')
+        a = htmlkit.elements_by_tag(doc, "a")[0]
+        assert htmlkit.attr_val(a, "href") == "first"
+
+    def test_match_attrs_empty_true(self):
+        doc = htmlkit.parse_html("<div>x</div>")
+        d = htmlkit.elements_by_tag(doc, "div")[0]
+        assert htmlkit.match_attrs(d, [])
+
+    def test_match_attrs_subset_superset(self):
+        doc = htmlkit.parse_html('<img class="a" alt="b" src="s">')
+        img = htmlkit.elements_by_tag(doc, "img")[0]
+        assert htmlkit.match_attrs(img, [("class", "a")])
+        assert htmlkit.match_attrs(img, [("class", "a"), ("alt", "b")])
+        assert not htmlkit.match_attrs(img, [("class", "a"), ("missing", "z")])
+
+    def test_nested_same_tag(self):
+        doc = htmlkit.parse_html("<div><div><img src='1'></div><img src='2'></div>")
+        assert [htmlkit.attr_val(i, "src") for i in htmlkit.elements_by_tag(doc, "img")] == ["1", "2"]

@@ -1,0 +1,133 @@
+"""UDF / column-expression layer: JVM-vs-Python parity (SURVEY.md §2.12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bbcrawl_spark import urlkit
+from bbcrawl_spark.functions import udfs
+from tests.test_extraction import SRC_PAGE, VB4_PAGE
+
+URLS = [
+    "http://Ex.COM:80/A/b?x=1&y=2#frag",
+    "https://h:443",
+    "https://h:8443/p?q",
+    "http://h/path/",
+    "HTTP://UPPER.example/MiXeD",
+    "http://h:8080/t/p1",
+]
+
+
+class TestCanonicalizeParity:
+    def test_col_matches_python(self, spark):
+        df = spark.createDataFrame([(u,) for u in URLS], "url string")
+        got = {
+            r["url"]: r["c"]
+            for r in df.select("url", udfs.canonicalize_col("url").alias("c")).collect()
+        }
+        for u in URLS:
+            assert got[u] == urlkit.canonicalize(u), u
+
+    def test_hash_col_matches_python(self, spark):
+        df = spark.createDataFrame([(u,) for u in URLS], "url string")
+        got = {
+            r["url"]: r["h"]
+            for r in df.select("url", udfs.url_hash_col("url").alias("h")).collect()
+        }
+        for u in URLS:
+            assert got[u] == urlkit.url_hash(u), u
+
+    def test_udf_matches_col(self, spark):
+        df = spark.createDataFrame([(u,) for u in URLS], "url string")
+        rows = df.select(
+            udfs.canonicalize_col("url").alias("c1"),
+            udfs.canonicalize_udf("url").alias("c2"),
+        ).collect()
+        for r in rows:
+            assert r["c1"] == r["c2"]
+
+
+class TestExtractUDFs:
+    def test_vb_udf_through_spark(self, spark):
+        df = spark.createDataFrame(
+            [("http://forum.example:8080/t/1", VB4_PAGE.encode("utf-8"))],
+            "url string, html binary",
+        )
+        rows = (
+            df.select(F.explode(udfs.extract_vb_udf("html", "url")).alias("f"))
+            .select("f.*")
+            .where(F.col("err") == "")
+            .orderBy("element_index")
+            .collect()
+        )
+        assert [(r["post_id"], r["att_id"], r["out_name"]) for r in rows] == [
+            ("101", 1, "101-1-f1.pdf"),
+            ("101", 2, "101-2-f2.jpg"),
+            ("102", 1, "102-1-abs.png"),
+            ("102", 3, "102-3-last.gif"),
+        ]
+
+    def test_srcs_udf_through_spark(self, spark):
+        udf = udfs.make_extract_srcs_udf()
+        df = spark.createDataFrame(
+            [("http://media.example:444/g/p9", SRC_PAGE.encode("utf-8"), 7)],
+            "url string, html binary, page_num int",
+        )
+        rows = (
+            df.select(F.explode(udf("html", "url", "page_num")).alias("f"))
+            .select("f.*")
+            .where(F.col("err") == "")
+            .collect()
+        )
+        names = {r["link"]: r["out_name"] for r in rows}
+        assert names["/pics/a.jpg"] == "7-1.jpg"
+        assert names["/v/single.mkv"] == "7-5.mkv"
+
+    def test_text_udf_matches_core(self, spark):
+        from bbcrawl_spark import extract
+
+        html = "<body>a<script>no</script>b ü</body>"
+        df = spark.createDataFrame([(html.encode("utf-8"),)], "html binary")
+        [r] = df.select(udfs.extract_text_udf("html").alias("t")).collect()
+        assert r["t"] == extract.extract_text(html) == "ab ü"
+
+    def test_links_udf(self, spark):
+        html = b'<a href="/x">l</a><a href="p2">n</a>'
+        df = spark.createDataFrame([("http://h:9/a/b", html)], "url string, html binary")
+        rows = (
+            df.select(F.explode(udfs.extract_links_udf("html", "url")).alias("l"))
+            .select("l.abs_url")
+            .collect()
+        )
+        assert [r["abs_url"] for r in rows] == ["http://h/x", "http://h/p2"]
+
+    def test_resolve_udf(self, spark):
+        df = spark.createDataFrame(
+            [("http://h:8080/t/p1", "a/b.jpg"), ("http://h/t", "http://abs/x")],
+            "page string, link string",
+        )
+        rows = df.select(udfs.resolve_links_udf("page", "link").alias("r")).collect()
+        assert [r["r"] for r in rows] == ["http://h/a/b.jpg", "http://abs/x"]
+
+
+class TestHeaderFilename:
+    def test_content_disposition(self, spark):
+        df = spark.createDataFrame(
+            [
+                ('attachment; filename="report.pdf"',),
+                ('inline; filename="bad/name.txt"',),
+                ("attachment",),
+            ],
+            "h string",
+        )
+        rows = df.select(udfs.header_filename_col("h").alias("n")).collect()
+        assert [r["n"] for r in rows] == ["report.pdf", "", ""]
+
+
+class TestHostOf:
+    def test_host(self, spark):
+        df = spark.createDataFrame(
+            [("http://A.Example.com:8080/x?q=1",), ("https://h/y",)], "url string"
+        )
+        rows = df.select(udfs.host_of("url").alias("h")).collect()
+        assert [r["h"] for r in rows] == ["a.example.com", "h"]
