@@ -1,0 +1,177 @@
+"""Dedup (bloom + anti-join), politeness windows, robots, priority
+(SURVEY.md §2.3-2.7)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbcrawl_spark import urlkit
+from bbcrawl_spark.operators import dedup, politeness, priority, robots
+
+
+@pytest.fixture(scope="module")
+def tmp_bloom_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("bloom"))
+
+
+def _url_df(spark, urls):
+    return spark.createDataFrame(
+        [(u, urlkit.url_hash(u)) for u in urls], "url string, url_hash long"
+    )
+
+
+class TestBloomDedup:
+    def test_exact_and_no_false_negatives(self, spark, tmp_bloom_dir):
+        rng = random.Random(42)
+        seen_urls = [f"http://h{rng.randrange(20)}.ex/t/{i}" for i in range(2000)]
+        new_urls = [f"http://h{rng.randrange(20)}.ex/new/{i}" for i in range(500)]
+        seen = _url_df(spark, seen_urls)
+        cands = _url_df(spark, seen_urls[:300] + new_urls)
+
+        manifest = dedup.build_partitioned_bloom(seen, tmp_bloom_dir, num_partitions=8)
+        assert manifest.count() == 8
+        spec = dedup.BloomSpec(tmp_bloom_dir, 8)
+
+        # bloom never misses a genuinely-seen url (zero false negatives)
+        flagged = dedup.bloom_maybe_seen(cands, spec)
+        missed = flagged.filter(
+            (~F.col("maybe_seen")) & F.col("url_hash").isin(
+                [urlkit.url_hash(u) for u in seen_urls[:300]]
+            )
+        )
+        assert missed.count() == 0
+
+        # end-to-end dedup is EXACT (bloom + confirm == plain anti-join)
+        got = sorted(r["url"] for r in dedup.dedup_against_seen(cands, seen, spec).collect())
+        want = sorted(set(new_urls))
+        assert got == want
+
+    def test_dedup_without_bloom_matches(self, spark):
+        seen = _url_df(spark, [f"http://h/{i}" for i in range(100)])
+        cands = _url_df(spark, [f"http://h/{i}" for i in range(50, 150)])
+        got = sorted(r["url"] for r in dedup.dedup_against_seen(cands, seen).collect())
+        assert got == sorted(f"http://h/{i}" for i in range(100, 150))
+
+    def test_union_seen_exactly_once(self, spark):
+        seen = _url_df(spark, ["http://h/a", "http://h/b"])
+        new = _url_df(spark, ["http://h/b", "http://h/c"])
+        assert dedup.union_seen(seen, new).count() == 3
+
+
+class TestPoliteness:
+    def _frontier(self, spark):
+        rows = []
+        # hot host with 40 urls, two small hosts with 3 urls each
+        for i in range(40):
+            rows.append((f"http://hot.ex/t/{i}", "hot.ex", 1, i))
+        for h in ("a.ex", "b.ex"):
+            for i in range(3):
+                rows.append((f"http://{h}/t/{i}", h, 1, i))
+        return spark.createDataFrame(
+            [(u, h, p, pn, urlkit.url_hash(u)) for u, h, p, pn in rows],
+            "url string, host string, priority int, page_num int, url_hash long",
+        )
+
+    def test_budget_respected(self, spark):
+        ranked = politeness.rank_fetch_slots(self._frontier(spark), budget=5)
+        sched = ranked.filter("scheduled").groupBy("host").count().collect()
+        counts = {r["host"]: r["count"] for r in sched}
+        assert counts == {"hot.ex": 5, "a.ex": 3, "b.ex": 3}
+
+    def test_deterministic_order_within_host(self, spark):
+        ranked = politeness.rank_fetch_slots(self._frontier(spark), budget=5)
+        rows = ranked.filter("host = 'hot.ex' and scheduled").orderBy("fetch_rank").collect()
+        # order key is (priority, page_num, url_hash): page_num ascending here
+        assert [r["page_num"] for r in rows] == [0, 1, 2, 3, 4]
+
+    def test_salted_identical_schedule(self, spark):
+        f = self._frontier(spark)
+        plain = politeness.rank_fetch_slots(f, budget=5)
+        salted = politeness.rank_fetch_slots(f, budget=5, salt_partitions=8)
+        a = sorted(
+            (r["url"], r["fetch_rank"]) for r in plain.filter("scheduled").collect()
+        )
+        b = sorted(
+            (r["url"], r["fetch_rank"]) for r in salted.filter("scheduled").collect()
+        )
+        assert a == b
+
+    def test_slots_and_waves(self, spark):
+        ranked = politeness.rank_fetch_slots(self._frontier(spark), budget=12)
+        rows = ranked.filter("host = 'hot.ex' and scheduled").orderBy("fetch_rank").collect()
+        assert [r["slot"] for r in rows[:7]] == [0, 1, 2, 3, 4, 0, 1]
+        assert [r["wave"] for r in rows[:7]] == [0, 0, 0, 0, 0, 1, 1]
+
+    def test_window_group_limit_in_plan(self, spark):
+        # Spark >=3.5 turns row_number<=k filters into WindowGroupLimit with
+        # a map-side Partial mode — the built-in hot-host defense.
+        ranked = politeness.rank_fetch_slots(self._frontier(spark), budget=5)
+        plan = ranked.filter("fetch_rank <= 5")._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+
+class TestRobots:
+    def test_parse(self):
+        txt = """# comment
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+User-agent: evilbot
+Disallow: /
+"""
+        assert robots.parse_robots_txt(txt) == ["/private/", "/tmp"]
+        assert robots.parse_robots_txt(txt, "evilbot") == ["/"]
+
+    def test_empty_disallow_allows_all(self):
+        assert robots.parse_robots_txt("User-agent: *\nDisallow:\n") == []
+
+    def test_gate(self, spark):
+        frontier = _url_df(
+            spark,
+            [
+                "http://a.ex/ok/1",
+                "http://a.ex/private/2",
+                "http://b.ex/private/3",  # b.ex has no rules -> allowed
+            ],
+        )
+        rules = robots.robots_table(spark, {"a.ex": "User-agent: *\nDisallow: /private/"})
+        got = sorted(r["url"] for r in robots.robots_gate(frontier, rules).collect())
+        assert got == ["http://a.ex/ok/1", "http://b.ex/private/3"]
+        # python twin agrees
+        rdict = {"a.ex": ["/private/"]}
+        assert robots.robots_allowed_py("http://a.ex/ok/1", rdict)
+        assert not robots.robots_allowed_py("http://a.ex/private/2", rdict)
+        assert robots.robots_allowed_py("http://b.ex/private/3", rdict)
+
+
+PRIORITY_CASES = [
+    # (page, link, expected score)
+    ("http://f.ex/threads/42/page3", "http://f.ex/threads/42/page4", 0),  # vb next
+    ("http://f.ex/threads/42", "http://f.ex/threads/42/page2", 0),  # bare -> page2
+    ("http://f.ex/board?page=2", "http://f.ex/board?page=3", 0),  # query next
+    ("http://f.ex/board?a=1&page=2", "http://f.ex/board?a=1&page=9", 0),
+    ("http://f.ex/threads/42/page3", "http://f.ex/threads/99", 1),  # same host
+    ("http://f.ex/board?page=2", "http://f.ex/board?a=1&page=3", 1),  # query differs
+    ("http://f.ex/t/1", "http://other.ex/t/1", 2),  # cross host
+    ("http://f.ex/threads/42/page3", "http://f.ex/threads/42/page3", 1),  # self
+]
+
+
+class TestPriority:
+    @pytest.mark.parametrize("page,link,score", PRIORITY_CASES)
+    def test_python(self, page, link, score):
+        assert priority.priority_score_py(page, link) == score
+
+    def test_col_matches_python(self, spark):
+        df = spark.createDataFrame(
+            [(p, l) for p, l, _ in PRIORITY_CASES], "page string, link string"
+        )
+        rows = df.select(
+            "page", "link", priority.priority_score_col("page", "link").alias("s")
+        ).collect()
+        for r in rows:
+            assert r["s"] == priority.priority_score_py(r["page"], r["link"]), (
+                r["page"], r["link"])
