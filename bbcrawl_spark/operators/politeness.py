@@ -62,29 +62,42 @@ def rank_fetch_slots(
     shuffle profile changes.
     """
     order = [F.col(c) for c in order_cols]
-    df = frontier
-    if salt_partitions > 1:
-        df = df.withColumn(
-            "_salt", F.pmod(F.col("url_hash"), F.lit(salt_partitions)).cast("int")
-        )
-        w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
-        df = (
-            df.withColumn("_r1", F.row_number().over(w1))
-            .filter(F.col("_r1") <= budget)
-            .drop("_r1", "_salt")
-        )
     w = Window.partitionBy(host_col).orderBy(*order)
     rank = F.row_number().over(w)
-    return (
-        df.withColumn("fetch_rank", rank)
-        .withColumn("scheduled", F.col("fetch_rank") <= budget)
-        .withColumn(
-            "slot", ((F.col("fetch_rank") - 1) % concurrency).cast("int")
+
+    def _finalize(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("fetch_rank", rank)
+            .withColumn("scheduled", F.col("fetch_rank") <= budget)
+            .withColumn("slot", ((F.col("fetch_rank") - 1) % concurrency).cast("int"))
+            .withColumn(
+                "wave", F.floor((F.col("fetch_rank") - 1) / concurrency).cast("int")
+            )
         )
-        .withColumn(
-            "wave", F.floor((F.col("fetch_rank") - 1) / concurrency).cast("int")
-        )
+
+    if salt_partitions <= 1:
+        return _finalize(frontier)
+
+    # two-phase salted top-k: any row in a host's true top-budget is in its
+    # salt's top-budget, so phase-1 survivors are a superset of the schedule;
+    # phase-1 losers can NEVER be scheduled (>budget better rows exist in
+    # their salt alone) — they are carried through unscheduled (fetch_rank 0)
+    # so the caller's deferred set stays complete.
+    salted = frontier.withColumn(
+        "_salt", F.pmod(F.col("url_hash"), F.lit(salt_partitions)).cast("int")
     )
+    w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
+    salted = salted.withColumn("_r1", F.row_number().over(w1))
+    survivors = _finalize(salted.filter(F.col("_r1") <= budget).drop("_r1", "_salt"))
+    losers = (
+        salted.filter(F.col("_r1") > budget)
+        .drop("_r1", "_salt")
+        .withColumn("fetch_rank", F.lit(0))
+        .withColumn("scheduled", F.lit(False))
+        .withColumn("slot", F.lit(-1).cast("int"))
+        .withColumn("wave", F.lit(-1).cast("int"))
+    )
+    return survivors.unionByName(losers)
 
 
 def crawl_order_key(round_col: Column | str = "round") -> list[Column]:

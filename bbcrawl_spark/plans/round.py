@@ -1,0 +1,315 @@
+"""The crawl loop: per-round batch DataFrame jobs over warehouse tables.
+
+Spark-native re-expression of the reference's sequential loop
+(``/root/reference/libcrawl/api.go:101-114``) per the normative round
+contract in ``bbcrawl_spark.oracle`` (the two must match exactly — tested in
+tests/test_crawl_e2e.py):
+
+    frontier_r --anti-join--> gates (excludes, robots, seen w/ Bloom)
+              --window------> politeness budget per host (scheduled/deferred)
+              --join--------> pages (the "fetch"; pre-crawled Common-Crawl-
+                              style table replaces live HTTP)
+              --pandas UDF--> link + text extraction (Arrow batches)
+              --explode-----> score / canonicalize / hash -> new frontier
+              --write-------> fetched_r, fetch_log_r, frontier_{r+1},
+                              seen ∪ scheduled, metrics_r   [round commit]
+
+Shuffle profile per round (the 100-TB design):
+  1. politeness window: hash exchange on host (WindowGroupLimit partial
+     limit + optional salted two-phase kill hot-host skew)
+  2. pages join: sort-merge on url (frontier side already deduped; AQE may
+     demote to broadcast when a round is small)
+  3. new-link dedup: hash exchange on url_hash
+  Everything else is map-side: Bloom seen-check (mapInPandas), excludes +
+  robots (broadcast), extraction (ArrowEvalPython).
+
+State writes are snapshot commits; the round barrier (``commit_round``) is
+written last, making a crashed round invisible and the resume path
+deterministic (north_rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import extract_links_udf, extract_text_udf, host_of, url_hash_col
+from ..operators import dedup
+from ..operators.politeness import rank_fetch_slots
+from ..operators.priority import priority_score_col
+from ..operators.robots import robots_gate, robots_table
+from ..sources.warehouse import Warehouse
+
+FRONTIER_SCHEMA = (
+    "url string, url_hash long, host string, priority int, page_num int, "
+    "seed_id long, discovered_in int"
+)
+FRONTIER_COLS = ["url", "url_hash", "host", "priority", "page_num", "seed_id", "discovered_in"]
+
+
+@dataclass
+class CrawlConfig:
+    pages_path: str  # parquet dir of the pages table (Iceberg table on a cluster)
+    warehouse_root: str
+    seeds: list[tuple[str, int, int]] = field(default_factory=list)  # (url, seed_id, priority)
+    budget: int = 5  # per-host fetches per round (reference DEFAULT_DL_JOBS)
+    max_rounds: int = 100
+    follow_links: bool = True
+    salt_partitions: int = 0  # >1 enables two-phase salted politeness top-k
+    bloom_partitions: int = 0  # >0 enables the persistent Bloom prefilter
+    bloom_bits_per_key: int = 10
+    excludes: tuple[str, ...] = ()
+    robots: dict[str, str] = field(default_factory=dict)  # host -> robots.txt body
+    user_agent: str = "*"
+    metrics_partitions: int = 16  # per-partition lineage granularity
+
+
+def page_num_col(url) -> F.Column:
+    """Discovered-link page number: trailing '/pageN' else 0 (oracle twin:
+    ``oracle.link_page_num``)."""
+    url = F.col(url) if isinstance(url, str) else url
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    n = F.regexp_extract(path, r"/page([0-9]+)$", 1)
+    # try_cast: '' -> NULL under ANSI mode (Spark 4 default) instead of error
+    return F.coalesce(n.try_cast("int"), F.lit(0))
+
+
+def frontier_from_urls(df: DataFrame, discovered_in: int) -> DataFrame:
+    """Project (url, seed_id, priority) rows into the frontier schema using
+    JVM column expressions only."""
+    return df.select(
+        F.col("url"),
+        url_hash_col("url").alias("url_hash"),
+        host_of("url").alias("host"),
+        F.col("priority").cast("int").alias("priority"),
+        page_num_col("url").alias("page_num"),
+        F.col("seed_id").cast("long").alias("seed_id"),
+        F.lit(discovered_in).cast("int").alias("discovered_in"),
+    )
+
+
+class CrawlDriver:
+    """Multi-round crawl driver with deterministic resume.
+
+    All state lives in the warehouse; the driver instance is stateless —
+    constructing a new driver over the same warehouse root continues the
+    crawl exactly where the last committed round left it.
+    """
+
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.wh = Warehouse(spark, cfg.warehouse_root)
+        self._robots_df = (
+            robots_table(spark, cfg.robots, cfg.user_agent) if cfg.robots else None
+        )
+        self._excludes_df = (
+            spark.createDataFrame([(u,) for u in cfg.excludes], "url string")
+            if cfg.excludes
+            else None
+        )
+
+    # -- state access (always via round-log-pinned snapshots) -------------
+    def _pinned(self, round_no: int, table: str) -> DataFrame:
+        sid = self.wh.round_snapshot(round_no, table)
+        return self.wh.read(table, sid)
+
+    def bootstrap(self) -> None:
+        if self.wh.last_committed_round() is not None:
+            return
+        seeds_df = self.spark.createDataFrame(
+            [(u, s, p) for u, s, p in self.cfg.seeds], "url string, seed_id long, priority int"
+        )
+        f_sid = self.wh.write("frontier", frontier_from_urls(seeds_df, -1))
+        s_sid = self.wh.write(
+            "seen", self.spark.createDataFrame([], "url_hash long")
+        )
+        self.wh.commit_round(-1, {"frontier": f_sid, "seen": s_sid}, {"bootstrap": True})
+
+    def run(self, max_rounds: int | None = None) -> dict[str, Any]:
+        """Run (or resume) the crawl until the frontier drains or the round
+        cap is hit. Returns a summary dict."""
+        self.bootstrap()
+        cap = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        last = self.wh.last_committed_round()
+        log = self.wh.round_log()
+        if last is not None and log.get(str(last), {}).get("meta", {}).get("done"):
+            return self._summary()
+        start = (last if last is not None else -1) + 1
+        for r in range(start, cap):
+            meta = self.run_round(r)
+            if meta["done"]:
+                break
+        return self._summary()
+
+    def run_round(self, r: int) -> dict[str, Any]:
+        cfg = self.cfg
+        frontier = self._pinned(r - 1, "frontier")
+        seen = self._pinned(r - 1, "seen")
+
+        # --- gates (P1 excludes, P7 robots, P2/J1 seen) -------------------
+        cand = frontier
+        if self._excludes_df is not None:
+            cand = cand.join(F.broadcast(self._excludes_df), "url", "left_anti")
+        if self._robots_df is not None:
+            cand = robots_gate(cand, self._robots_df)
+        bloom_spec = None
+        if cfg.bloom_partitions > 0 and self.wh.round_snapshot(r - 1, "bloom_dir"):
+            bloom_spec = dedup.BloomSpec(
+                self.wh.round_snapshot(r - 1, "bloom_dir"), cfg.bloom_partitions
+            )
+        cand = dedup.dedup_against_seen(cand, seen, bloom_spec)
+
+        # --- politeness window (W1) ---------------------------------------
+        ranked = rank_fetch_slots(
+            cand, cfg.budget, salt_partitions=cfg.salt_partitions
+        ).persist()
+        scheduled = ranked.filter(F.col("scheduled"))
+        deferred = ranked.filter(~F.col("scheduled")).select(*FRONTIER_COLS)
+
+        # --- fetch = join pages (J3) + extraction (H9/H10) ----------------
+        pages = self.spark.read.parquet(cfg.pages_path)
+        # persist: fetched feeds text output, link extraction AND metrics —
+        # without it the pages join + Arrow extraction would re-run per sink
+        fetched = scheduled.join(pages.select("url", "html"), "url", "inner").persist()
+        fetched_out = fetched.select(
+            F.lit(r).alias("round"),
+            "url",
+            "url_hash",
+            "host",
+            extract_text_udf("html").alias("text"),
+        )
+
+        seen_new = scheduled.select("url_hash")
+        if cfg.follow_links:
+            links = fetched.select(
+                F.col("url").alias("page_url"),
+                F.col("seed_id"),
+                F.explode(extract_links_udf("html", "url")).alias("l"),
+            ).select("page_url", "seed_id", F.col("l.abs_url").alias("url"))
+            new_entries = links.select(
+                "url",
+                url_hash_col("url").alias("url_hash"),
+                host_of("url").alias("host"),
+                priority_score_col("page_url", "url").alias("priority"),
+                page_num_col("url").alias("page_num"),
+                F.col("seed_id"),
+                F.lit(r).cast("int").alias("discovered_in"),
+            )
+            # not in seen' = seen ∪ scheduled-this-round
+            new_entries = new_entries.join(
+                seen.select("url_hash").unionByName(seen_new), "url_hash", "left_anti"
+            ).persist()
+        else:
+            new_entries = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+
+        # --- merge deferred ∪ new, dedup by url_hash (oracle step 6) ------
+        merged = deferred.unionByName(new_entries)
+        dw = Window.partitionBy("url_hash").orderBy(
+            "priority", "page_num", "discovered_in", "seed_id"
+        )
+        frontier_next = (
+            merged.withColumn("_rn", F.row_number().over(dw))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+        # --- per-partition lineage metrics (A5) ---------------------------
+        P = cfg.metrics_partitions
+        pid = lambda c: F.pmod(F.col(c), F.lit(P)).cast("int").alias("partition_id")
+        m_sched = scheduled.groupBy(pid("url_hash")).agg(F.count("*").alias("n_scheduled"))
+        m_fetch = fetched.groupBy(pid("url_hash")).agg(F.count("*").alias("n_fetched"))
+        m_new = new_entries.groupBy(pid("url_hash")).agg(F.count("*").alias("n_new_links"))
+        metrics = (
+            m_sched.join(m_fetch, "partition_id", "full")
+            .join(m_new, "partition_id", "full")
+            .na.fill(0)
+            .select(
+                F.lit(r).alias("round"),
+                "partition_id",
+                "n_scheduled",
+                "n_fetched",
+                "n_new_links",
+            )
+        )
+
+        # --- snapshot writes, then the round commit barrier ---------------
+        # pin appends to the round-log parent ("" = fresh chain) so a crashed
+        # round's orphan snapshots never enter the lineage on resume
+        pin = lambda t: self.wh.round_snapshot(r - 1, t) or ""
+        fetch_log_r = scheduled.select(
+            F.lit(r).alias("round"), "url", "url_hash", "host", "priority",
+            "page_num", "seed_id", "fetch_rank", "slot", "wave",
+        )
+        sids = {
+            "frontier": self.wh.write("frontier", frontier_next),
+            "seen": self.wh.append("seen", seen_new, parent_snapshot=pin("seen")),
+            "fetch_log": self.wh.append(
+                "fetch_log", fetch_log_r, parent_snapshot=pin("fetch_log")
+            ),
+            "fetched": self.wh.append(
+                "fetched", fetched_out, parent_snapshot=pin("fetched")
+            ),
+            "metrics": self.wh.append(
+                "metrics", metrics, parent_snapshot=pin("metrics")
+            ),
+        }
+        ranked.unpersist()
+        fetched.unpersist()
+        if cfg.follow_links:
+            new_entries.unpersist()
+
+        # --- rebuild the persistent Bloom over the grown seen set ---------
+        if cfg.bloom_partitions > 0:
+            bloom_dir = f"{cfg.warehouse_root}/bloom/r{r:05d}"
+            dedup.build_partitioned_bloom(
+                self.wh.read("seen", sids["seen"]),
+                bloom_dir,
+                cfg.bloom_partitions,
+                cfg.bloom_bits_per_key,
+            )
+            sids["bloom_dir"] = bloom_dir
+
+        n_next = self.wh.read("frontier", sids["frontier"]).count()
+        n_sched = self.wh.read("fetch_log", sids["fetch_log"]).filter(
+            F.col("round") == r
+        ).count()
+        meta = {"round": r, "n_scheduled": n_sched, "n_frontier_next": n_next,
+                "done": n_next == 0 or n_sched == 0}
+        self.wh.commit_round(r, sids, meta)
+        return meta
+
+    # -- result readers ----------------------------------------------------
+    def _last(self, table: str) -> DataFrame:
+        return self._pinned(self.wh.last_committed_round(), table)
+
+    def crawl_order(self) -> DataFrame:
+        """Exact global crawl order (W2): (rank, round, url)."""
+        w = Window.orderBy("round", "priority", "page_num", "url_hash")
+        return self._last("fetch_log").select(
+            F.row_number().over(w).alias("rank"), "round", "url",
+            "priority", "page_num", "url_hash",
+        )
+
+    def seen_set(self) -> DataFrame:
+        return self._last("seen")
+
+    def fetched_texts(self) -> DataFrame:
+        return self._last("fetched").select("url", "text")
+
+    def metrics(self) -> DataFrame:
+        return self._last("metrics")
+
+    def _summary(self) -> dict[str, Any]:
+        log = self.wh.round_log()
+        rounds = sorted(int(k) for k in log if int(k) >= 0)
+        return {
+            "rounds": len(rounds),
+            "last_round": rounds[-1] if rounds else None,
+            "n_seen": self._last("seen").count() if rounds else 0,
+            "done": bool(rounds) and log[str(rounds[-1])]["meta"].get("done", False),
+        }

@@ -1,0 +1,159 @@
+"""Deterministic synthetic board-site pages table (FIXTURES.md §D).
+
+Generates a multi-host vBulletin-style forum as a Common-Crawl-style pages
+table with the authoritative input shape from BASELINE.json.input_hint:
+
+    url: string, warc_ts: timestamp, html: binary, text: string, lang: string
+
+Structure (all seeded by ``seed``, default 42 — fully reproducible):
+
+* H hosts (``forum{i}.example``), B boards each, T threads per board,
+  P pages per thread.
+* thread page 1: ``http://{host}/b{b}/t{t}`` ; page p>1: ``.../t{t}/page{p}``
+  (the vb4 pager URL shape, pagers.go:223-248).
+* every thread page carries: a next-page link (if any), links to 2 sibling
+  threads (same board), one cross-board link, and occasionally a cross-host
+  link — exercising all three priority classes (W3).
+* every page has a ``<div id="posts">`` with posts/attachments in the vb4
+  id scheme so the extraction UDFs have real work.
+* per-host robots.txt disallows ``/b0/secret`` paths; a few URLs land in
+  the excludes list.
+
+The ``text`` column is produced by the engine's own ``extract_text`` so the
+byte-identical-text contract is closed end-to-end.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+from dataclasses import dataclass, field
+
+from .. import extract
+
+__all__ = ["BoardSite", "make_board_site"]
+
+_BASE_TS = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+@dataclass
+class BoardSite:
+    pages: dict[str, bytes] = field(default_factory=dict)  # url -> html
+    rows: list[tuple] = field(default_factory=list)  # pages-table rows
+    robots: dict[str, str] = field(default_factory=dict)  # host -> robots.txt
+    seeds: list[tuple[str, int, int]] = field(default_factory=list)  # url, seed_id, priority
+    excludes: list[str] = field(default_factory=list)
+
+    def to_df(self, spark):
+        return spark.createDataFrame(self.rows, PAGES_SCHEMA)
+
+
+def _thread_url(host: str, b: int, t: int, p: int) -> str:
+    base = f"http://{host}/b{b}/t{t}"
+    return base if p == 1 else f"{base}/page{p}"
+
+
+def make_board_site(
+    hosts: int = 2,
+    boards: int = 2,
+    threads: int = 3,
+    pages_per_thread: int = 3,
+    seed: int = 42,
+) -> BoardSite:
+    rng = random.Random(seed)
+    site = BoardSite()
+    hostnames = [f"forum{i}.example" for i in range(hosts)]
+
+    i = 0
+    for hi, host in enumerate(hostnames):
+        site.robots[host] = "User-agent: *\nDisallow: /b0/secret\n"
+        for b in range(boards):
+            for t in range(threads):
+                for p in range(1, pages_per_thread + 1):
+                    url = _thread_url(host, b, t, p)
+                    html = _thread_page_html(
+                        rng, hostnames, host, b, t, p, threads, pages_per_thread
+                    )
+                    body = html.encode("utf-8")
+                    site.pages[url] = body
+                    site.rows.append(
+                        (
+                            url,
+                            _BASE_TS + datetime.timedelta(seconds=i),
+                            body,
+                            extract.extract_text(html),
+                            "en",
+                        )
+                    )
+                    i += 1
+        # a secret page robots must keep out of the crawl
+        secret = f"http://{host}/b0/secret/{hi}"
+        shtml = "<html><body><div id='posts'>secret</div></body></html>"
+        site.pages[secret] = shtml.encode()
+        site.rows.append(
+            (secret, _BASE_TS + datetime.timedelta(seconds=i), shtml.encode(),
+             extract.extract_text(shtml), "en")
+        )
+        i += 1
+
+    # seeds: page 1 of thread 0 on every host's board 0
+    for s, host in enumerate(hostnames):
+        site.seeds.append((_thread_url(host, 0, 0, 1), s, 0))
+    # exclude one mid-thread page on host 0 (P1 semantics: exact url string)
+    site.excludes.append(_thread_url(hostnames[0], 0, 1, 1))
+    return site
+
+
+def _thread_page_html(
+    rng: random.Random,
+    hostnames: list[str],
+    host: str,
+    b: int,
+    t: int,
+    p: int,
+    threads: int,
+    pages_per_thread: int,
+) -> str:
+    links: list[str] = []
+    if p < pages_per_thread:
+        links.append(
+            f'<a href="/b{b}/t{t}/page{p + 1}">Next Page</a>'
+        )
+    # sibling threads (same board) — relative links exercise rel2abs
+    for st in ((t + 1) % threads, (t + 2) % threads):
+        if st != t:
+            links.append(f'<a href="b{b}/t{st}">Thread {st}</a>')
+    # cross-board link
+    ob = (b + 1) % 2
+    links.append(f'<a href="/b{ob}/t0">Board {ob}</a>')
+    # deterministic occasional cross-host link + robots-blocked link
+    if rng.random() < 0.3:
+        other = hostnames[rng.randrange(len(hostnames))]
+        if other != host:
+            links.append(f'<a href="http://{other}/b0/t0">Cross {other}</a>')
+    if rng.random() < 0.2:
+        links.append('<a href="/b0/secret/0">Secret</a>')
+
+    posts = []
+    for pi in range(2):
+        post_no = 100 * p + pi
+        atts = ""
+        if (p + pi) % 2 == 0:
+            atts = (
+                f'<a id="attachment{pi + 1}" '
+                f'href="/att/{b}/{t}/{p}/{pi}/file{pi}.pdf">att</a>'
+            )
+        posts.append(
+            f'<div id="post_{post_no}"><p>Post {post_no} of thread {t} '
+            f"board {b} on {host}, page {p}.</p>{atts}</div>"
+        )
+
+    return (
+        "<html><head><title>"
+        f"t{t} p{p}</title></head><body>\n"
+        f'<div class="nav">{"".join(links)}</div>\n'
+        f'<div id="posts">{"".join(posts)}</div>\n'
+        "</body></html>"
+    )

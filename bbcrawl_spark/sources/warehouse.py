@@ -1,0 +1,162 @@
+"""Snapshot-committed table store (Iceberg-semantics fallback).
+
+The north_rule requires crawl state (frontier / seen / metrics / lineage)
+in Iceberg tables with per-round snapshots so the crawl resumes
+deterministically.  This sandbox has no Iceberg runtime jar (and no
+network), so this module provides the declared fallback (SURVEY.md §7.6):
+parquet data files + an atomically-swapped JSON manifest reproducing the
+Iceberg semantics the crawl loop needs:
+
+* snapshot isolation: readers only ever see the manifest's current
+  snapshot; a crashed half-written snapshot is invisible garbage;
+* append = new snapshot whose file list is parent's ∪ new files (no
+  rewrite of existing data);
+* time travel: any snapshot id remains readable until expired;
+* atomic multi-table round commit: the crawl driver records
+  {table -> snapshot_id} per round in a separate round log, committed
+  last — the Iceberg equivalent of tagging per-round snapshots.
+
+On a real cluster, swap this class for ``spark.read.format("iceberg")`` /
+``df.writeTo(...)`` — the crawl loop only touches the four methods
+``write / append / read / commit_round``.
+
+Layout:
+    root/<table>/data/s<NNNN>/part-*.parquet   one dir per snapshot's new files
+    root/<table>/_manifest.json                {"current": id, "snapshots": {...}}
+    root/_rounds.json                          round -> {table: snapshot_id}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["Warehouse"]
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest helpers ----------------------------------------------
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_manifest.json")
+
+    def _manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return {"current": None, "snapshots": {}}
+        with open(p) as f:
+            return json.load(f)
+
+    def exists(self, table: str) -> bool:
+        return self._manifest(table)["current"] is not None
+
+    def snapshots(self, table: str) -> dict:
+        return self._manifest(table)["snapshots"]
+
+    def current_snapshot(self, table: str) -> str | None:
+        return self._manifest(table)["current"]
+
+    # -- write path ------------------------------------------------------
+    def _new_snapshot(self, table: str, df: DataFrame, parent_dirs: list[str],
+                      meta: dict | None) -> str:
+        man = self._manifest(table)
+        sid = f"s{len(man['snapshots']):05d}"
+        data_dir = os.path.join(self._table_dir(table), "data", sid)
+        df.write.mode("overwrite").parquet(data_dir)
+        man["snapshots"][sid] = {
+            "dirs": parent_dirs + [data_dir],
+            "parent": man["current"],
+            "ts": time.time(),
+            "meta": meta or {},
+        }
+        man["current"] = sid
+        _atomic_write_json(self._manifest_path(table), man)
+        return sid
+
+    def write(self, table: str, df: DataFrame, meta: dict | None = None) -> str:
+        """Overwrite: new snapshot containing only df (old snapshots remain
+        readable via time travel until expired)."""
+        return self._new_snapshot(table, df, [], meta)
+
+    def append(
+        self,
+        table: str,
+        df: DataFrame,
+        meta: dict | None = None,
+        parent_snapshot: str | None = None,
+    ) -> str:
+        """Append: new snapshot = parent files ∪ df's files.
+
+        ``parent_snapshot`` pins the parent explicitly — the resume path uses
+        the round-log-pinned snapshot so an orphan append from a crashed
+        round can never leak into the lineage. Pass "" to append onto an
+        empty parent (fresh chain); None means "manifest current".
+        """
+        man = self._manifest(table)
+        if parent_snapshot is None:
+            pid = man["current"]
+        elif parent_snapshot == "":
+            pid = None
+        else:
+            pid = parent_snapshot
+        parent_dirs = man["snapshots"][pid]["dirs"] if pid else []
+        return self._new_snapshot(table, df, list(parent_dirs), meta)
+
+    # -- read path -------------------------------------------------------
+    def read(self, table: str, snapshot_id: str | None = None) -> DataFrame:
+        man = self._manifest(table)
+        sid = snapshot_id or man["current"]
+        if sid is None:
+            raise FileNotFoundError(f"table {table!r} has no committed snapshot")
+        dirs = man["snapshots"][sid]["dirs"]
+        return self.spark.read.parquet(*dirs)
+
+    # -- round log (atomic multi-table commit point) ----------------------
+    def _rounds_path(self) -> str:
+        return os.path.join(self.root, "_rounds.json")
+
+    def round_log(self) -> dict:
+        p = self._rounds_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def commit_round(self, round_no: int, table_snapshots: dict[str, str],
+                     meta: dict | None = None) -> None:
+        """THE round barrier: written only after every table snapshot of the
+        round is durable. A crash before this line leaves orphan snapshots
+        that the resume path never reads — the reference's Finish() join
+        (crawlers.go:174-179) re-expressed as a commit protocol."""
+        log = self.round_log()
+        log[str(round_no)] = {"tables": table_snapshots, "meta": meta or {}}
+        _atomic_write_json(self._rounds_path(), log)
+
+    def last_committed_round(self) -> int | None:
+        log = self.round_log()
+        return max((int(k) for k in log), default=None)
+
+    def round_snapshot(self, round_no: int, table: str) -> str | None:
+        log = self.round_log()
+        entry = log.get(str(round_no))
+        return entry["tables"].get(table) if entry else None

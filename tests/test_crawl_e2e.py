@@ -1,0 +1,136 @@
+"""End-to-end crawl equivalence: Spark round loop vs sequential oracle
+(FIXTURES.md §D; north_star equality criteria — exact crawl order, final
+seen set, byte-identical text — plus deterministic resume)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbcrawl_spark import oracle
+from bbcrawl_spark.operators.robots import parse_robots_txt
+from bbcrawl_spark.plans.round import CrawlConfig, CrawlDriver
+from bbcrawl_spark.sources.boardsite import make_board_site
+
+
+@pytest.fixture(scope="module")
+def site():
+    return make_board_site(hosts=2, boards=2, threads=3, pages_per_thread=3)
+
+
+@pytest.fixture(scope="module")
+def pages_path(site, tmp_path_factory, spark):
+    p = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
+    site.to_df(spark).write.mode("overwrite").parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def want(site):
+    robots = {h: parse_robots_txt(t) for h, t in site.robots.items()}
+    return oracle.crawl_oracle(
+        pages=site.pages,
+        seeds=site.seeds,
+        budget=2,
+        robots=robots,
+        excludes=set(site.excludes),
+        max_rounds=20,
+    )
+
+
+def _driver(spark, site, pages_path, wh_root, **kw):
+    cfg = CrawlConfig(
+        pages_path=pages_path,
+        warehouse_root=str(wh_root),
+        seeds=site.seeds,
+        budget=kw.pop("budget", 2),
+        max_rounds=kw.pop("max_rounds", 20),
+        excludes=tuple(site.excludes),
+        robots=site.robots,
+        **kw,
+    )
+    return CrawlDriver(spark, cfg)
+
+
+@pytest.fixture(scope="module")
+def run(spark, site, pages_path, tmp_path_factory):
+    """One full default-config crawl, shared by all read-back assertions."""
+    drv = _driver(spark, site, pages_path, tmp_path_factory.mktemp("wh_main"))
+    summary = drv.run()
+    return drv, summary
+
+
+def _order(drv):
+    return [(r["round"], r["url"]) for r in drv.crawl_order().orderBy("rank").collect()]
+
+
+class TestCrawlEquivalence:
+    def test_done(self, run):
+        assert run[1]["done"]
+
+    def test_crawl_order_matches_oracle(self, run, want):
+        assert _order(run[0]) == want.crawl_order
+
+    def test_seen_set_matches_oracle(self, run, want):
+        got_seen = {r["url_hash"] for r in run[0].seen_set().collect()}
+        assert got_seen == want.seen
+
+    def test_text_byte_identical(self, run, want):
+        got_texts = {r["url"]: r["text"] for r in run[0].fetched_texts().collect()}
+        assert got_texts == want.texts
+
+    def test_robots_and_excludes_enforced(self, run, site):
+        urls = [r["url"] for r in run[0].crawl_order().collect()]
+        assert all("/b0/secret" not in u for u in urls)
+        assert all(u not in site.excludes for u in urls)
+
+    def test_budget_enforced_every_round(self, run):
+        per = (
+            run[0]._last("fetch_log")
+            .groupBy("round", "host")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+        assert per <= 2
+
+    def test_metrics_lineage(self, run, want):
+        m = run[0].metrics().toPandas()
+        assert set(m.columns) == {
+            "round", "partition_id", "n_scheduled", "n_fetched", "n_new_links"
+        }
+        per_round = m.groupby("round")["n_scheduled"].sum().to_dict()
+        for om in want.metrics:
+            assert per_round.get(om["round"], 0) == om["n_scheduled"]
+
+    def test_bloom_path_identical(self, spark, site, pages_path, tmp_path, want):
+        drv = _driver(spark, site, pages_path, tmp_path / "whb", bloom_partitions=4)
+        drv.run()
+        assert _order(drv) == want.crawl_order
+        assert {r["url_hash"] for r in drv.seen_set().collect()} == want.seen
+
+    def test_salted_politeness_identical(self, spark, site, pages_path, tmp_path, want):
+        drv = _driver(spark, site, pages_path, tmp_path / "whs", salt_partitions=4)
+        drv.run()
+        assert _order(drv) == want.crawl_order
+
+
+class TestResume:
+    def test_kill_and_resume_identical_final_state(
+        self, spark, site, pages_path, tmp_path, want
+    ):
+        wh = tmp_path / "whr"
+        d1 = _driver(spark, site, pages_path, wh)
+        d1.run(max_rounds=2)  # stop mid-crawl ("kill")
+        assert d1.wh.last_committed_round() == 1
+        d2 = _driver(spark, site, pages_path, wh)  # fresh driver resumes
+        summary = d2.run()
+        assert summary["done"]
+        assert _order(d2) == want.crawl_order
+        assert {r["url_hash"] for r in d2.seen_set().collect()} == want.seen
+
+    def test_rerun_after_done_is_noop(self, run, spark, site, pages_path):
+        drv, s1 = run
+        d2 = _driver(spark, site, pages_path, drv.cfg.warehouse_root)
+        s2 = d2.run()
+        assert s1 == s2
