@@ -1,0 +1,149 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata, processed through
+``mapInPandas`` so one Arrow batch of blobs is handled per Python call and
+nothing media-sized ever crosses a shuffle unnecessarily.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
+decode step is STUBBED two ways, both clearly marked:
+
+* ``decode_image(strict=True)`` raises NotImplementedError — the real
+  pipeline wires a codec here;
+* the deterministic FAKEIMG format (header ``FAKEIMG:w,h:`` + w*h payload
+  bytes) makes the Spark-side plumbing — schema, batch shape, partition
+  behavior, resize/frame-sample arithmetic — fully real and testable.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: media table column contract: id + blob + typed metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("blob", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+_FAKE_RE = re.compile(rb"^FAKEIMG:(\d+),(\d+):")
+
+
+def encode_fake_image(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic stand-in blob: FAKEIMG header + w*h pseudo-pixels."""
+    rng = np.random.RandomState(seed)
+    payload = rng.randint(0, 256, size=width * height, dtype=np.int64).astype(np.uint8)
+    return b"FAKEIMG:%d,%d:" % (width, height) + payload.tobytes()
+
+
+def _decode_fake(blob: bytes) -> np.ndarray:
+    m = _FAKE_RE.match(blob)
+    if not m:
+        raise ValueError("not a FAKEIMG blob")
+    w, h = int(m.group(1)), int(m.group(2))
+    payload = np.frombuffer(blob[m.end() :], dtype=np.uint8)
+    return payload[: w * h].reshape(h, w)
+
+
+def decode_image(blob: bytes, strict: bool = True) -> np.ndarray:
+    """STUB — real image decoding needs a codec library not present in
+    this container. strict=True raises; strict=False handles the
+    deterministic FAKEIMG format used by tests and fixtures."""
+    if _FAKE_RE.match(blob or b""):
+        return _decode_fake(blob)
+    if strict:
+        raise NotImplementedError(
+            "real image codecs are not available in this environment; "
+            "wire PIL/turbojpeg here on a real cluster"
+        )
+    raise ValueError("unknown image format")
+
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_intensity", IntegerType()),
+        StructField("nonzero_ratio_pct", IntegerType()),
+    ]
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract per Arrow batch (mapInPandas): dimensions,
+    mean intensity, nonzero ratio. Batch shape is real; the decode is the
+    FAKEIMG stub."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                img = decode_image(bytes(blob), strict=False)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "mean_intensity": int(img.mean()),
+                        "nonzero_ratio_pct": int(100 * (img > 0).mean()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
+
+    return media.select("media_id", "blob").mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize inside mapInPandas, re-encoded as FAKEIMG —
+    demonstrates blob-in/blob-out UDF plumbing with bounded Arrow batches."""
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("blob", BinaryType())]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                img = decode_image(bytes(blob), strict=False)
+                ys = (np.arange(out_h) * img.shape[0] // out_h).clip(0, img.shape[0] - 1)
+                xs = (np.arange(out_w) * img.shape[1] // out_w).clip(0, img.shape[1] - 1)
+                small = img[np.ix_(ys, xs)]
+                out.append(
+                    {
+                        "media_id": mid,
+                        "blob": b"FAKEIMG:%d,%d:" % (out_w, out_h) + small.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "blob"])
+
+    return media.select("media_id", "blob").mapInPandas(_resize, schema)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling STUB: treats each FAKEIMG row as a frame
+    container of `height` frames and emits every_n-th row index — the
+    partitioning/explode shape of real frame sampling without a codec."""
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("height") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100-TB pipeline needs both:
+
+* **brute-force cosine top-k** — the exact baseline: JVM-side dot product
+  (``zip_with`` + ``aggregate``; no Python in the loop), per-query ranking
+  window. Cost O(|queries|·|corpus|) — fine when one side is small enough
+  to broadcast.
+* **LSH-bucketed ANN** — random-hyperplane signatures (sign of dot with H
+  fixed seeded planes) computed in a numpy pandas UDF; candidates share a
+  bucket (optionally multi-probe by also matching Hamming-1 neighbors),
+  then exact cosine only within buckets. Scale path: the corpus shuffles
+  once on bucket, queries broadcast per bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+__all__ = ["cosine", "brute_force_knn", "make_hyperplane_udf", "lsh_knn", "cosine_near_dup_pairs"]
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast queries × corpus,
+    cosine, row_number ≤ k. Returns (query_id, vec_id, cos_sim, knn_rank)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )
+
+
+def make_hyperplane_udf(dim: int, num_planes: int = 16, seed: int = 42,
+                        num_tables: int = 1):
+    """pandas UDF: embedding -> array of per-table hyperplane sign buckets.
+
+    Standard multi-table LSH: ``num_tables`` independent seeded plane sets;
+    a whole Arrow batch is one numpy einsum."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_tables, dim, num_planes)).astype(np.float64)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def hyperplane_buckets(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="object")
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vec])
+        signs = np.einsum("nd,tdp->ntp", m, planes) > 0  # n × tables × planes
+        vals = signs @ weights  # n × tables
+        return pd.Series(vals.tolist())
+
+    return hyperplane_buckets
+
+
+def _with_buckets(df: DataFrame, udf, vec_alias: str) -> DataFrame:
+    return df.select(
+        "*", F.posexplode(udf(F.col(vec_alias))).alias("table", "bucket")
+    )
+
+
+def lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine only for candidates sharing a bucket
+    in ANY of the L hash tables (union-of-tables candidates = the classic
+    recall lever). Returns (query_id, vec_id, cos_sim, knn_rank)."""
+    udf = make_hyperplane_udf(dim, num_planes, num_tables=num_tables)
+    c = _with_buckets(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")),
+        udf, "_cvec",
+    )
+    q = _with_buckets(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")),
+        udf, "_qvec",
+    )
+    cand = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .select("query_id", "vec_id", "_qvec", "_cvec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id", "vec_id", cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("knn_rank", F.row_number().over(w)).filter(
+        F.col("knn_rank") <= k
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold), id_a < id_b.
+
+    exact=True does the O(n²) self-join (small inputs / oracle checks);
+    otherwise candidates are restricted to shared LSH buckets.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if exact:
+        a, b = base.alias("a"), base.alias("b")
+        joined = a.join(b, F.col("a.id") < F.col("b.id"))
+    else:
+        if dim is None:
+            raise ValueError("dim required for the LSH path")
+        udf = make_hyperplane_udf(dim, num_planes, num_tables=4)
+        banded = _with_buckets(base, udf, "vec")
+        a, b = banded.alias("a"), banded.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+    return (
+        joined.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

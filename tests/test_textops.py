@@ -1,0 +1,242 @@
+"""Training-data pipeline operators: dedup family, text analysis
+(documents table), similarity search (embeddings table), multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bbcrawl_spark.operators import multimodal, similarity, textops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestExactDedup:
+    def test_keeps_min_id(self, spark):
+        df = _docs_df(spark, ["a b c", "A  b   C", "different", "a b c"])
+        kept = sorted(r["doc_id"] for r in textops.exact_dedup(df).collect())
+        assert kept == [0, 2]  # 1 and 3 normalize to the same text as 0
+
+    def test_on_real_documents(self, docs):
+        n = docs.count()
+        kept = textops.exact_dedup(docs).count()
+        assert 0 < kept <= n
+
+
+class TestTokenAndQuality:
+    def test_token_stats(self, spark):
+        df = _docs_df(spark, ["Hello world, 42 times!"])
+        [r] = textops.token_stats(df).collect()
+        assert r["n_tokens_ws"] == 4
+        # BPE-ish: Hello|world|,|4|2|times|! = 7
+        assert r["n_tokens_bpeish"] == 7
+
+    def test_quality_flags(self, spark):
+        good = "the cat sat on the mat and it was a good day for all of us"
+        bad_short = "hi"
+        bad_punct = "!!! ??? ... !!! ??? !!!"
+        df = _docs_df(spark, [good, bad_short, bad_punct])
+        rows = {r["doc_id"]: r for r in textops.quality_score(df).collect()}
+        assert rows[0]["q_keep"] is True
+        assert rows[1]["q_keep"] is False
+        assert rows[2]["q_keep"] is False
+
+    def test_langid(self, spark):
+        df = _docs_df(
+            spark,
+            [
+                "the cat is on the mat and it is a fine day",
+                "der Hund ist in dem Haus und das ist gut für ihn",
+                "le chat est dans la maison pour le moment avec une amie",
+                "el perro es grande y la casa es bonita por una parte",
+                "zzz qqq xxx",
+            ],
+        )
+        rows = textops.langid(df).orderBy("doc_id").collect()
+        assert [r["lang_pred"] for r in rows] == ["en", "de", "fr", "es", "und"]
+
+    def test_fingerprint_stable(self, spark):
+        df = _docs_df(spark, ["Some  Text", "some text"])
+        rows = textops.fingerprint(df).collect()
+        assert rows[0]["fp_md5"] == rows[1]["fp_md5"]
+        assert rows[0]["fp_xxh64"] == rows[1]["fp_xxh64"]
+
+
+NEAR_DUP_TEXTS = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "the quick brown fox jumps over the lazy dog near the river bank yesterday",  # near-dup of 0
+    "completely different content about spark shuffles and window functions",
+    "the quick brown fox jumps over the lazy dog near the river bank today",  # exact dup of 0
+]
+
+
+class TestNgramJaccard:
+    def test_pairs(self, spark):
+        df = _docs_df(spark, NEAR_DUP_TEXTS)
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in textops.ngram_jaccard_pairs(df, threshold=0.5).collect()
+        }
+        assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+        assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+        assert not any(2 in p for p in pairs)
+
+    def test_dedup(self, spark):
+        df = _docs_df(spark, NEAR_DUP_TEXTS)
+        kept = sorted(r["doc_id"] for r in textops.ngram_jaccard_dedup(df, threshold=0.5).collect())
+        assert kept == [0, 2]
+
+
+class TestMinHash:
+    def test_signature_deterministic(self, spark):
+        df = _docs_df(spark, NEAR_DUP_TEXTS[:2])
+        udf = textops.make_minhash_udf(num_hashes=32)
+        s1 = df.select(udf("text").alias("sig")).collect()
+        s2 = df.select(udf("text").alias("sig")).collect()
+        assert [r["sig"] for r in s1] == [r["sig"] for r in s2]
+
+    def test_lsh_finds_near_dups(self, spark):
+        df = _docs_df(spark, NEAR_DUP_TEXTS)
+        pairs = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in textops.minhash_lsh_pairs(df, threshold=0.4).collect()
+        }
+        assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+        assert (0, 1) in pairs
+        assert not any(2 in p for p in pairs)
+
+    def test_dedup(self, spark):
+        df = _docs_df(spark, NEAR_DUP_TEXTS)
+        kept = sorted(
+            r["doc_id"] for r in textops.minhash_dedup(df, threshold=0.4).collect()
+        )
+        assert kept == [0, 2]
+
+
+class TestSimHash:
+    def test_exact_dup_zero_hamming(self, spark):
+        df = _docs_df(spark, NEAR_DUP_TEXTS)
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in textops.simhash_pairs(df, max_hamming=3).collect()
+        }
+        assert pairs.get((0, 3)) == 0
+        assert not any(2 in p for p in pairs)
+
+    def test_long_near_dup_low_hamming(self, spark):
+        # simhash converges with length: 1 token changed out of ~100 flips
+        # few bits, so the 4x16-band pigeonhole (hamming<=3) catches it
+        base = (
+            "spark engine shuffle partition window aggregate join broadcast "
+            "filter column frame batch arrow pandas vector hash bloom frontier "
+            "crawl politeness budget robots seed host priority page thread "
+            "board link extract text token corpus"
+        ) * 3
+        df = _docs_df(spark, [base, base.replace("bloom", "cuckoo"), "tiny other"])
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in textops.simhash_pairs(df, max_hamming=3).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+        assert not any(2 in p for p in pairs)
+
+    def test_simhash_distinct_for_different_text(self, spark):
+        df = _docs_df(spark, [NEAR_DUP_TEXTS[0], NEAR_DUP_TEXTS[2]])
+        a, b = [r[0] for r in df.select(textops.simhash_udf("text")).collect()]
+        assert a != b
+
+
+class TestSimilarity:
+    def test_brute_force_self_nearest(self, spark, emb):
+        corpus = emb.limit(200).cache()
+        queries = corpus.limit(5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        knn = similarity.brute_force_knn(corpus, queries, k=3)
+        top1 = {
+            r["query_id"]: r["vec_id"]
+            for r in knn.filter("knn_rank = 1").collect()
+        }
+        # every vector's nearest neighbor is itself (cos=1)
+        assert all(q == v for q, v in top1.items())
+
+    def test_lsh_recall_reasonable(self, spark, emb):
+        corpus = emb.limit(300).cache()
+        queries = corpus.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+        dim = len(corpus.first()["embedding"])
+        exact = similarity.brute_force_knn(corpus, queries, k=5)
+        # synthetic near-random embeddings are the ANN worst case (weak
+        # neighbor structure): short codes + many tables for recall
+        approx = similarity.lsh_knn(
+            corpus, queries, dim=dim, k=5, num_planes=4, num_tables=16
+        )
+        e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.6  # multi-table LSH recall
+        # self-match always survives (same bucket by construction)
+        assert all((q, q) in a for q in {p[0] for p in e})
+
+    def test_near_dup_exact_path(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),  # near-dup of 0
+            (2, [0.0, 1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = similarity.cosine_near_dup_pairs(df, threshold=0.95, exact=True).collect()
+        assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
+class TestMultimodal:
+    def _media(self, spark, n=6):
+        rows = [
+            (i, multimodal.encode_fake_image(8 + i, 4 + i, seed=i), "image/fake", 8 + i, 4 + i)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    def test_strict_decode_raises(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG\r\n...", strict=True)
+
+    def test_features_through_spark(self, spark):
+        media = self._media(spark)
+        feats = {r["media_id"]: r for r in multimodal.image_features(media).collect()}
+        assert len(feats) == 6
+        assert feats[0]["width"] == 8 and feats[0]["height"] == 4
+        img = multimodal.decode_image(multimodal.encode_fake_image(8, 4, seed=0), strict=False)
+        assert feats[0]["mean_intensity"] == int(img.mean())
+
+    def test_resize_roundtrip(self, spark):
+        media = self._media(spark, n=3)
+        out = multimodal.resize_images(media, 4, 2).collect()
+        for r in out:
+            img = multimodal.decode_image(bytes(r["blob"]), strict=False)
+            assert img.shape == (2, 4)
+
+    def test_frame_sample(self, spark):
+        media = self._media(spark, n=2)
+        rows = multimodal.frame_sample(media, every_n=2).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+        assert by_id[0] == [0, 2]  # height 4 -> frames 0,2
+        assert by_id[1] == [0, 2, 4]  # height 5 -> frames 0,2,4
