@@ -1,38 +1,714 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship crawl-round pipeline on sf0.001.
+``queries()``    — one entry per implemented operator (SURVEY.md §2),
+                   each (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twins (same column names, same
+                   aliases). Ops that SQL can't express (MinHash/SimHash
+                   signatures, LSH ANN, multimodal decode) have no oracle
+                   entry — the driver records a rows-only check for them.
+
+Cross-engine determinism rules used throughout:
+* no xxhash64 in compared outputs (DuckDB lacks it) — md5 for fingerprints;
+* float comparisons via floor(x * 10^k) to kill rounding-mode differences;
+* every computed column aliased identically on both sides;
+* embeddings cast to double before cosine so both engines do double math.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bbcrawl_spark import pagers
+from bbcrawl_spark.functions import udfs
+from bbcrawl_spark.operators import politeness, priority, similarity, textops
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+#: deterministic synthetic URL built from the events table — used by the
+#: URL-centric operator oracles (the TPC-H-ish tables have no URL column).
+#: Covers: uppercase scheme/host, default and explicit ports, paths with
+#: vb4-style /pageN suffixes, query-style pagination.
+_URL_SQL = (
+    "CASE CAST(event_id % 4 AS INT) "
+    " WHEN 0 THEN 'HTTP://Forum' || CAST(user_id AS STRING) || '.Example.com:80/b' "
+    "   || CAST(event_id % 3 AS STRING) || '/t' || CAST(event_id % 50 AS STRING) "
+    " WHEN 1 THEN 'http://forum' || CAST(user_id AS STRING) || '.example.com/b' "
+    "   || CAST(event_id % 3 AS STRING) || '/t' || CAST(event_id % 50 AS STRING) "
+    "   || '/page' || CAST(1 + (event_id % 7) AS STRING) "
+    " WHEN 2 THEN 'https://Forum' || CAST(user_id AS STRING) || '.example.com:443/board'"
+    "   || '?page=' || CAST(1 + (event_id % 7) AS STRING) || '&id=' || CAST(event_id % 5 AS STRING) "
+    " ELSE 'http://cdn' || CAST(user_id % 7 AS STRING) || '.example.net:8080/f/' "
+    "   || CAST(event_id % 100 AS STRING) || '.jpg#frag' "
+    "END"
+)
+
+
+def _events_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_events_tmp")
+    return spark.sql(
+        f"SELECT event_id, user_id, {_URL_SQL} AS url FROM _events_tmp"
+    )
+
+
+_URL_CTE = f"WITH u AS (SELECT event_id, user_id, {_URL_SQL} AS url FROM events)"
+
+# canonical-form SQL (twin of udfs.canonicalize_col; identical regexes)
+_CANON_SQL = """
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*):', 1)) || '://' ||
+    CASE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*):', 1))
+      WHEN 'http'  THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), ':80$', '')
+      WHEN 'https' THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), ':443$', '')
+      ELSE lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))
+    END ||
+    CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) = ''
+         THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) END ||
+    CASE WHEN regexp_extract(url, '^[^#]*\\?([^#]*)', 1) = ''
+         THEN '' ELSE '?' || regexp_extract(url, '^[^#]*\\?([^#]*)', 1) END
+"""
+
+# normalized text (twin of textops.normalized)
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_STOP_EN = textops._STOPWORDS["en"]
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in textops._STOPWORDS[lang]) + "]"
+
+
+# ---------------------------------------------------------------------------
+# the queries
+# ---------------------------------------------------------------------------
+
+
+def q_frontier_cutter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = pagers.CutterPagerSpec(
+        url="http://www.example.net/1/test", start=1, end=100, cut=(24, 1), digits=5
+    )
+    return pagers.cutter_frontier(spark, spec)
+
+
+def q_frontier_vb4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = pagers.VB4PagerSpec(url="http://forum.example.net/threads/42", start=1, end=50)
+    return pagers.vb4_frontier(spark, spec)
+
+
+def q_frontier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = pagers.QueryPagerSpec(url="http://h.example/f?z=9&a=1", start=2, end=60)
+    return pagers.query_frontier(spark, spec)
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _events_urls(spark, sf_dir)
+    return u.select("event_id", udfs.canonicalize_col("url").alias("canon_url"))
+
+
+def q_seen_dedup_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/J1 over events: candidate urls (clicks) anti-joined against the
+    seen set (urls of error events)."""
+    u = _events_urls(spark, sf_dir)
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type")
+    cand = (
+        u.join(ev, "event_id")
+        .filter(F.col("event_type") == "click")
+        .select(udfs.canonicalize_col("url").alias("canon_url"))
+        .distinct()
+    )
+    seen = (
+        u.join(ev, "event_id")
+        .filter(F.col("event_type") == "error")
+        .select(udfs.canonicalize_col("url").alias("canon_url"))
+        .distinct()
+    )
+    return cand.join(seen, "canon_url", "left_anti")
+
+
+def q_exclude_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/J2: broadcast anti-join of lineitem against a tiny literal
+    exclude list."""
+    li = _read(spark, sf_dir, "lineitem")
+    excl = spark.createDataFrame([(1,), (2,), (3,), (5,), (8,)], "l_orderkey long")
+    return (
+        li.join(F.broadcast(excl), "l_orderkey", "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/O4: per-host (= customer) top-3 by deterministic order key."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("fetch_rank", F.row_number().over(w))
+        .filter(F.col("fetch_rank") <= 3)
+        .select("o_custkey", "o_orderkey", "fetch_rank")
+    )
+
+
+def q_fetch_slot_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/W1: the dispatcher's slot/wave layout (concurrency 5) per host."""
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("host"),
+        F.col("o_orderkey").alias("url_id"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    w = Window.partitionBy("host").orderBy("ts", "url_id")
+    r = F.row_number().over(w)
+    return o.select(
+        "host",
+        "url_id",
+        r.alias("fetch_rank"),
+        ((r - 1) % 5).cast("int").alias("slot"),
+        F.floor((r - 1) / 5).cast("int").alias("wave"),
+    ).filter(F.col("fetch_rank") <= 10)
+
+
+def q_crawl_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: global deterministic order over a bounded scheduled set."""
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.row_number().over(w).alias("rank"), "o_orderkey", "o_orderdate"
+    )
+
+
+def q_seen_union_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/U4: seen ∪ new, exactly once."""
+    ev = _read(spark, sf_dir, "events")
+    seen = ev.filter(F.col("event_type") == "view").select("user_id")
+    new = ev.filter(F.col("event_type") == "click").select("user_id")
+    return seen.unionByName(new).distinct()
+
+
+def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: round metrics aggregation shape."""
+    ev = _read(spark, sf_dir, "events")
+    # decimal sum: double summation order differs across engines and floor
+    # sits exactly on integer boundaries for 2-decimal inputs
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("long").alias("sum_value_c"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_redirect_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: Deny/Log redirect policies as columns (cap 10, redirect.go:12)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") % 13).alias("n_redirects")
+    )
+    deny = F.when(F.col("n_redirects") > 0, F.lit("error")).otherwise(F.lit("ok"))
+    log = F.when(F.col("n_redirects") > 10, F.lit("error")).otherwise(F.lit("ok"))
+    return ev.select(
+        "event_id", "n_redirects", deny.alias("deny_status"), log.alias("log_status")
+    )
+
+
+def q_robots_prefix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/J5: per-host Disallow-prefix gate over constructed urls."""
+    u = _events_urls(spark, sf_dir)
+    host = udfs.host_of("url")
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    rules = spark.createDataFrame(
+        [("forum1.example.com", "/b0"), ("forum2.example.com", "/b1"),
+         ("cdn1.example.net", "/f/")],
+        "r_host string, disallow_prefix string",
+    )
+    df = u.select("event_id", "url", host.alias("host"), path.alias("path"))
+    blocked = (
+        df.join(F.broadcast(rules), df["host"] == rules["r_host"], "inner")
+        .filter(F.col("path").startswith(F.col("disallow_prefix")))
+        .select("event_id")
+        .distinct()
+    )
+    return df.join(blocked, "event_id", "left_anti").select("event_id", "url")
+
+
+def q_header_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: Content-Disposition filename extraction as a column expr."""
+    d = _read(spark, sf_dir, "documents")
+    hdr = F.concat(
+        F.lit('attachment; filename="'),
+        F.col("source"),
+        F.lit("-"),
+        F.col("doc_id").cast("string"),
+        F.lit('.txt"'),
+    )
+    hdr = F.when(F.col("doc_id") % 7 == 0, F.lit("inline")).otherwise(hdr)
+    return d.select(
+        "doc_id", udfs.header_filename_col(hdr).alias("header_name")
+    )
+
+
+def q_priority_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: pagination-aware priority over constructed (page, link) pairs."""
+    u = _events_urls(spark, sf_dir).filter(F.col("event_id") % 4 == 1)
+    page = F.col("url")
+    nxt = F.regexp_replace(F.col("url"), "/page[0-9]+$", "/page9")
+    cross = F.lit("http://other.example.org/b0/t0")
+    samehost = F.concat(
+        F.lit("http://"), udfs.host_of("url"), F.lit("/elsewhere")
+    )
+    pairs = u.select(
+        "event_id", page.alias("page_url"),
+        F.when(F.col("event_id") % 3 == 0, nxt)
+        .when(F.col("event_id") % 3 == 1, samehost)
+        .otherwise(cross)
+        .alias("link_url"),
+    )
+    return pairs.select(
+        "event_id", "page_url", "link_url",
+        priority.priority_score_col("page_url", "link_url").alias("priority"),
+    )
+
+
+# --- training-data ops ------------------------------------------------------
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy(textops.normalized("text")).orderBy("doc_id")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text", "lang", "source")
+    )
+
+
+def q_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return textops.token_stats(d).select(
+        "doc_id", "n_chars_raw", "n_tokens_ws", "n_tokens_bpeish"
+    )
+
+
+def q_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    q = textops.quality_score(d)
+    return q.select(
+        "doc_id",
+        "q_n_tokens",
+        F.floor(F.col("q_mean_token_len") * 1000).alias("mean_tok_len_m"),
+        F.floor(F.col("q_punct_ratio") * 1000).alias("punct_ratio_m"),
+        F.floor(F.col("q_stopword_ratio") * 1000).alias("sw_ratio_m"),
+        F.col("q_keep").alias("keep"),
+    )
+
+
+def q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return textops.langid(d).select("doc_id", "lang_pred")
+
+
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return textops.fingerprint(d).select("doc_id", "fp_md5")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    pairs = textops.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("jaccard") * 100000).alias("jaccard_100k")
+    )
+
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    knn = similarity.brute_force_knn(e, queries, k=10)
+    return knn.select(
+        "query_id", "vec_id", F.floor(F.col("cos_sim") * 10000).alias("cos_sim_e4")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).filter(F.col("vec_id") < 300)
+    pairs = similarity.cosine_near_dup_pairs(e, threshold=0.5, exact=True)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cos_sim") * 10000).alias("cos_sim_e4")
+    )
+
+
+# --- rows-only (non-SQL-expressible) ----------------------------------------
+
+
+def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return textops.minhash_dedup(d, threshold=0.5).select("doc_id", "lang", "source")
+
+
+def q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return textops.simhash_pairs(d, max_hamming=3)
+
+
+def q_ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = 64
+    return similarity.lsh_knn(e, queries, dim=dim, k=10, num_planes=4, num_tables=16)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bbcrawl_spark.operators import multimodal
+
+    d = _read(spark, sf_dir, "documents").select("doc_id").limit(64)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(None).cast("binary").alias("blob"),
+        F.lit("image/fake").alias("mime"),
+        (8 + F.col("doc_id") % 8).cast("int").alias("width"),
+        (4 + F.col("doc_id") % 4).cast("int").alias("height"),
+    )
+    # deterministic FAKEIMG blobs generated spark-side
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which breaks pandas_udf signature inference in this module
+    def _gen(mid, w, h):
+        return pd.Series(
+            [multimodal.encode_fake_image(int(a), int(b), seed=int(m))
+             for m, a, b in zip(mid, w, h)]
+        )
+
+    gen = F.pandas_udf(_gen, BinaryType())
+
+    media = media.withColumn("blob", gen("media_id", "width", "height"))
+    return multimodal.image_features(media)
+
+
+def q_crawl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-round crawl over the deterministic board-site fixture
+    (rows-only: the equivalence gate lives in tests/test_crawl_e2e.py)."""
+    import tempfile
+
+    from bbcrawl_spark.plans.round import CrawlConfig, CrawlDriver
+    from bbcrawl_spark.sources.boardsite import make_board_site
+
+    site = make_board_site(hosts=2, boards=2, threads=2, pages_per_thread=2)
+    tmp = tempfile.mkdtemp(prefix="bbcrawl_entry_")
+    pages = f"{tmp}/pages.parquet"
+    site.to_df(spark).write.mode("overwrite").parquet(pages)
+    cfg = CrawlConfig(
+        pages_path=pages, warehouse_root=f"{tmp}/wh", seeds=site.seeds,
+        budget=3, max_rounds=12, excludes=tuple(site.excludes), robots=site.robots,
+    )
+    drv = CrawlDriver(spark, cfg)
+    drv.run()
+    return drv.crawl_order().select("rank", "round", "url", "priority", "page_num")
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the crawl-round relational core (dedup anti-join ->
+    politeness window -> slot assignment) over sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    return q_fetch_slot_assignment(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "frontier_cutter": q_frontier_cutter,
+        "frontier_vb4": q_frontier_vb4,
+        "frontier_query": q_frontier_query,
+        "url_canonicalize": q_url_canonicalize,
+        "seen_dedup_antijoin": q_seen_dedup_antijoin,
+        "exclude_filter": q_exclude_filter,
+        "politeness_topk": q_politeness_topk,
+        "fetch_slot_assignment": q_fetch_slot_assignment,
+        "crawl_order_rank": q_crawl_order_rank,
+        "seen_union_growth": q_seen_union_growth,
+        "metrics_rollup": q_metrics_rollup,
+        "redirect_policy": q_redirect_policy,
+        "robots_prefix_gate": q_robots_prefix_gate,
+        "header_filename": q_header_filename,
+        "priority_score": q_priority_score,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "token_count_docs": q_token_count_docs,
+        "quality_score_docs": q_quality_score_docs,
+        "langid_docs": q_langid_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_knn": q_embedding_knn,
+        "embedding_near_dup": q_embedding_near_dup,
+        # rows-only (no SQL equivalent):
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "simhash_pairs_docs": q_simhash_pairs_docs,
+        "ann_lsh_knn": q_ann_lsh_knn,
+        "multimodal_features": q_multimodal_features,
+        "crawl_roundtrip": q_crawl_roundtrip,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw_en = _sw_list("en")
+    langid_ratio = {
+        lang: (
+            f"len(list_filter(string_split_regex({_NORM_SQL}, '\\s+'), "
+            f"t -> list_contains({_sw_list(lang)}, t)))::DOUBLE / "
+            f"greatest(len(string_split_regex({_NORM_SQL}, '\\s+')), 1)"
+        )
+        for lang in sorted(textops._STOPWORDS)
+    }
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in sorted(textops._STOPWORDS)) + ")"
+
+    return {
+        "frontier_cutter": """
+            SELECT CAST(0 AS BIGINT) AS seed_id, CAST(p - 1 AS BIGINT) AS ord,
+                   CAST(p AS INT) AS page_num,
+                   'http://www.example.net/' || lpad(CAST(p AS STRING), 5, '0') || '/test' AS url
+            FROM generate_series(1, 100) AS t(p)
+        """,
+        "frontier_vb4": """
+            SELECT CAST(0 AS BIGINT) AS seed_id, CAST(p - 1 AS BIGINT) AS ord,
+                   CAST(p AS INT) AS page_num,
+                   CASE WHEN p = 1 THEN 'http://forum.example.net/threads/42'
+                        ELSE 'http://forum.example.net/threads/42/page' || CAST(p AS STRING) END AS url
+            FROM generate_series(1, 50) AS t(p)
+        """,
+        "frontier_query": """
+            SELECT CAST(0 AS BIGINT) AS seed_id, CAST(p - 2 AS BIGINT) AS ord,
+                   CAST(p AS INT) AS page_num,
+                   'http://h.example/f?a=1&page=' || CAST(p AS STRING) || '&z=9' AS url
+            FROM generate_series(2, 60) AS t(p)
+        """,
+        "url_canonicalize": f"""
+            {_URL_CTE}
+            SELECT event_id, {_CANON_SQL} AS canon_url FROM u
+        """,
+        "seen_dedup_antijoin": f"""
+            {_URL_CTE}
+            SELECT DISTINCT {_CANON_SQL} AS canon_url
+            FROM u JOIN events USING (event_id)
+            WHERE events.event_type = 'click'
+            AND {_CANON_SQL} NOT IN (
+                SELECT {_CANON_SQL} FROM u JOIN events USING (event_id)
+                WHERE events.event_type = 'error')
+        """,
+        "exclude_filter": """
+            SELECT l_returnflag, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+            FROM lineitem WHERE l_orderkey NOT IN (1, 2, 3, 5, 8)
+            GROUP BY l_returnflag
+        """,
+        "politeness_topk": """
+            SELECT o_custkey, o_orderkey, fetch_rank FROM (
+                SELECT o_custkey, o_orderkey,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS fetch_rank
+                FROM orders) WHERE fetch_rank <= 3
+        """,
+        "fetch_slot_assignment": """
+            SELECT host, url_id, fetch_rank,
+                   CAST((fetch_rank - 1) % 5 AS INT) AS slot,
+                   CAST(floor((fetch_rank - 1) / 5) AS INT) AS wave
+            FROM (
+                SELECT o_custkey AS host, o_orderkey AS url_id,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS fetch_rank
+                FROM orders)
+            WHERE fetch_rank <= 10
+        """,
+        "crawl_order_rank": """
+            SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rank,
+                   o_orderkey, o_orderdate
+            FROM orders WHERE o_orderkey % 10 = 0
+        """,
+        "seen_union_growth": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'click'
+        """,
+        "metrics_rollup": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "redirect_policy": """
+            SELECT event_id, CAST(event_id % 13 AS BIGINT) AS n_redirects,
+                   CASE WHEN event_id % 13 > 0 THEN 'error' ELSE 'ok' END AS deny_status,
+                   CASE WHEN event_id % 13 > 10 THEN 'error' ELSE 'ok' END AS log_status
+            FROM events
+        """,
+        "robots_prefix_gate": f"""
+            {_URL_CTE},
+            d AS (SELECT event_id, url,
+                    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS host,
+                    CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) = ''
+                         THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) END AS path
+                  FROM u),
+            rules AS (SELECT * FROM (VALUES ('forum1.example.com', '/b0'),
+                                            ('forum2.example.com', '/b1'),
+                                            ('cdn1.example.net', '/f/')) AS r(r_host, disallow_prefix))
+            SELECT event_id, url FROM d
+            WHERE event_id NOT IN (
+                SELECT d.event_id FROM d JOIN rules ON d.host = rules.r_host
+                WHERE starts_with(d.path, rules.disallow_prefix))
+        """,
+        "header_filename": """
+            SELECT doc_id,
+                   CASE WHEN contains(name_match, '/') THEN '' ELSE name_match END AS header_name
+            FROM (
+                SELECT doc_id,
+                       regexp_extract(
+                         CASE WHEN doc_id % 7 = 0 THEN 'inline'
+                              ELSE 'attachment; filename="' || source || '-' || CAST(doc_id AS STRING) || '.txt"' END,
+                         '(?:^|;)\\s*filename="([^"]*)"', 1) AS name_match
+                FROM documents)
+        """,
+        "priority_score": f"""
+            {_URL_CTE},
+            pairs AS (
+              SELECT event_id, url AS page_url,
+                CASE WHEN event_id % 3 = 0 THEN regexp_replace(url, '/page[0-9]+$', '/page9')
+                     WHEN event_id % 3 = 1 THEN 'http://' ||
+                        regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), ':[0-9]+$', '') || '/elsewhere'
+                     ELSE 'http://other.example.org/b0/t0' END AS link_url
+              FROM u WHERE event_id % 4 = 1),
+            parts AS (
+              SELECT event_id, page_url, link_url,
+                regexp_replace(lower(regexp_extract(page_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS p_host,
+                regexp_replace(lower(regexp_extract(link_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS l_host,
+                regexp_extract(page_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS p_path,
+                regexp_extract(link_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS l_path,
+                regexp_extract(page_url, '^[^#]*\\?([^#]*)', 1) AS p_q,
+                regexp_extract(link_url, '^[^#]*\\?([^#]*)', 1) AS l_q
+              FROM pairs)
+            SELECT event_id, page_url, link_url,
+              CAST(CASE
+                WHEN p_host = l_host AND (
+                  (regexp_replace(p_path, '/page[0-9]+$', '') = regexp_replace(l_path, '/page[0-9]+$', '')
+                   AND (regexp_matches(l_path, '/page[0-9]+$') OR regexp_matches(p_path, '/page[0-9]+$'))
+                   AND (p_path != l_path OR p_q != l_q))
+                  OR
+                  (p_path = l_path
+                   AND regexp_replace(p_q, '(^|&)page=[0-9]+', '') = regexp_replace(l_q, '(^|&)page=[0-9]+', '')
+                   AND (regexp_matches(l_q, '(^|&)page=[0-9]+') OR regexp_matches(p_q, '(^|&)page=[0-9]+'))
+                   AND p_q != l_q)
+                ) THEN 0
+                WHEN p_host = l_host THEN 1
+                ELSE 2 END AS INT) AS priority
+            FROM parts
+        """,
+        "exact_dedup_docs": f"""
+            SELECT doc_id, text, lang, source FROM (
+                SELECT doc_id, text, lang, source,
+                       ROW_NUMBER() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1
+        """,
+        "token_count_docs": f"""
+            SELECT doc_id, CAST(length(text) AS INT) AS n_chars_raw,
+                   CAST(len(string_split_regex({_NORM_SQL}, '\\s+')) AS INT) AS n_tokens_ws,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens_bpeish
+            FROM documents
+        """,
+        "quality_score_docs": f"""
+            SELECT doc_id,
+                   CAST(n_tok AS INT) AS q_n_tokens,
+                   CAST(floor(n_chars / greatest(n_tok, 1) * 1000) AS BIGINT) AS mean_tok_len_m,
+                   CAST(floor(n_punct / greatest(length(text), 1) * 1000) AS BIGINT) AS punct_ratio_m,
+                   CAST(floor(sw / greatest(n_tok, 1) * 1000) AS BIGINT) AS sw_ratio_m,
+                   (n_tok >= 5 AND n_chars / greatest(n_tok, 1) >= 2.0
+                    AND n_chars / greatest(n_tok, 1) <= 12.0
+                    AND n_punct / greatest(length(text), 1) <= 0.3
+                    AND sw / greatest(n_tok, 1) >= 0.01) AS keep
+            FROM (
+                SELECT doc_id, text,
+                       len(string_split_regex({_NORM_SQL}, '\\s+')) AS n_tok,
+                       length({_NORM_SQL})::DOUBLE AS n_chars,
+                       len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct,
+                       len(list_filter(string_split_regex({_NORM_SQL}, '\\s+'),
+                                       t -> list_contains({sw_en}, t)))::DOUBLE AS sw
+                FROM documents)
+        """,
+        "langid_docs": f"""
+            SELECT doc_id,
+                   CASE WHEN {best} <= 0 THEN 'und'
+                        WHEN r_de = {best} THEN 'de'
+                        WHEN r_en = {best} THEN 'en'
+                        WHEN r_es = {best} THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM (
+                SELECT doc_id,
+                       {langid_ratio['de']} AS r_de,
+                       {langid_ratio['en']} AS r_en,
+                       {langid_ratio['es']} AS r_es,
+                       {langid_ratio['fr']} AS r_fr
+                FROM documents)
+        """,
+        "fingerprint_docs": f"""
+            SELECT doc_id, md5({_NORM_SQL}) AS fp_md5 FROM documents
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS t FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                                         i -> array_to_string(t[i:i+2], ' '))
+                     ELSE [array_to_string(t, ' ')] END)) AS shingle
+              FROM toks),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(floor(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) * 100000) AS BIGINT) AS jaccard_100k
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+        """,
+        "embedding_knn": """
+            SELECT query_id, vec_id,
+                   CAST(floor(cos_sim * 10000) AS BIGINT) AS cos_sim_e4
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                                  c.vec_id ASC) AS knn_rank
+                FROM embeddings q CROSS JOIN embeddings c
+                WHERE q.vec_id < 5)
+            WHERE knn_rank <= 10
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000) AS BIGINT) AS cos_sim_e4
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+        """,
+    }

@@ -131,9 +131,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*",
         n_tok.alias("q_n_tokens"),
-        F.round(mean_tok, 4).alias("q_mean_token_len"),
-        F.round(punct_ratio, 4).alias("q_punct_ratio"),
-        F.round(sw_ratio, 4).alias("q_stopword_ratio"),
+        mean_tok.alias("q_mean_token_len"),
+        punct_ratio.alias("q_punct_ratio"),
+        sw_ratio.alias("q_stopword_ratio"),
         keep.alias("q_keep"),
     )
 

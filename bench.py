@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""bbcrawl_spark benchmark — prints ONE JSON line.
+
+Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32):
+
+  frontier_gen      pure-codegen frontier generation + hash (5M urls)
+  crawl_pipeline    the crawl-round relational core at ~10x orders scale:
+                    urls -> seen anti-join -> salted politeness -> schedule
+  bloom_roundtrip   partitioned-Bloom build + map-side membership pass
+  extract_pages     Arrow-batched html text+link extraction (board-site)
+  exact_dedup_docs  hash-window dedup over documents
+  minhash_dedup     MinHash+LSH near-dup dedup over documents
+  ngram_jaccard     exact shingle-join Jaccard pairs over documents
+  embedding_knn     brute-force cosine top-10, 5 queries x all embeddings
+
+Output: {"metric": "frontier URLs scheduled/sec (crawl_pipeline)",
+         "value": <total headline seconds>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ..., "urls_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+#: multiplies the synthetic crawl workload sizes; scaling_bench sets this
+#: high so the N-vs-4N comparison measures compute, not fixed overhead
+SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1"))
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from bbcrawl_spark import pagers
+    from bbcrawl_spark.functions import udfs
+    from bbcrawl_spark.operators import dedup, politeness, textops, similarity
+    from bbcrawl_spark.plans.session import build_session
+    from bbcrawl_spark.sources.boardsite import make_board_site
+
+    spark = build_session(app_name="bbcrawl-bench", cores=CPUS)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm the Python UDF workers once so timings measure operators, not
+    # per-worker interpreter startup
+    from pyspark.sql.types import LongType
+    import pandas as pd  # noqa: F401
+
+    def _warm(s):
+        return s
+
+    warm_udf = F.pandas_udf(_warm, LongType())
+    spark.range(0, CPUS * 4, 1, CPUS * 2).select(warm_udf("id")).count()
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- frontier_gen: 5M urls, pure whole-stage codegen ------------------
+    N_FRONTIER = 5_000_000 * SCALE
+    def frontier_gen():
+        spec = pagers.CutterPagerSpec(
+            url="http://www.example.net/1/test", start=1, end=N_FRONTIER, cut=(24, 1)
+        )
+        df = pagers.cutter_frontier(spark, spec, parallelism=CPUS * 2)
+        n = df.select(F.xxhash64("url").alias("h")).agg(F.sum("h")).count()
+        assert n == 1
+    timed("frontier_gen", frontier_gen)
+    extras["frontier_gen_urls_per_sec"] = round(N_FRONTIER / timings["frontier_gen"], 0)
+
+    # --- crawl_pipeline: dedup + politeness at ~10x orders ----------------
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    MULT = 10 * SCALE
+    urls = (
+        orders.select("o_orderkey", "o_custkey")
+        .withColumn("_m", F.explode(F.sequence(F.lit(1), F.lit(MULT))))
+        .select(
+            F.concat(
+                F.lit("http://h"), (F.col("o_custkey") % 997).cast("string"),
+                F.lit(".example.com/t/"), F.col("o_orderkey").cast("string"),
+                F.lit("/page"), F.col("_m").cast("string"),
+            ).alias("url"),
+            (F.col("o_custkey") % 997).cast("string").alias("host"),
+            F.lit(1).alias("priority"),
+            F.col("_m").cast("int").alias("page_num"),
+        )
+        .withColumn("url_hash", udfs.url_hash_col("url"))
+    ).cache()
+    n_urls = urls.count()
+    seen = urls.filter(F.col("page_num") <= 3).select("url_hash").cache()
+    seen.count()
+
+    def crawl_pipeline():
+        cand = dedup.dedup_against_seen(urls, seen)
+        ranked = politeness.rank_fetch_slots(cand, budget=50, salt_partitions=8)
+        n = ranked.filter("scheduled").count()
+        assert n > 0
+    timed("crawl_pipeline", crawl_pipeline)
+    extras["n_frontier_urls"] = n_urls
+    extras["urls_per_sec"] = round(n_urls / timings["crawl_pipeline"], 0)
+
+    # --- bloom build + membership -----------------------------------------
+    bdir = tempfile.mkdtemp(prefix="bench_bloom_")
+    def bloom_roundtrip():
+        dedup.build_partitioned_bloom(seen, bdir, num_partitions=32)
+        spec = dedup.BloomSpec(bdir, 32)
+        flagged = dedup.bloom_maybe_seen(urls, spec)
+        assert flagged.filter("maybe_seen").count() > 0
+    timed("bloom_roundtrip", bloom_roundtrip)
+
+    # --- extraction over synthetic board pages -----------------------------
+    # replicate pages so per-task Arrow/worker overhead amortizes and the
+    # number reflects sustained extraction throughput
+    site = make_board_site(hosts=4, boards=4, threads=8, pages_per_thread=4)
+    PAGE_MULT = 40 * SCALE
+    pages_df = (
+        site.to_df(spark)
+        .withColumn("_m", F.explode(F.sequence(F.lit(1), F.lit(PAGE_MULT))))
+        .drop("_m")
+        .repartition(CPUS * 2)
+        .cache()
+    )
+    n_pages = pages_df.count()
+    def extract_pages():
+        out = pages_df.select(
+            udfs.extract_text_udf("html").alias("text"),
+            F.size(udfs.extract_links_udf("html", "url")).alias("n_links"),
+        )
+        assert out.agg(F.sum("n_links")).first()[0] > 0
+    timed("extract_pages", extract_pages)
+    extras["n_pages_extracted"] = n_pages
+    extras["extract_pages_per_sec"] = round(n_pages / timings["extract_pages"], 1)
+    pages_df.unpersist()
+
+    # --- corpus ops over the sf tables -------------------------------------
+    # single parquet file -> 1-2 input partitions; spread UDF work
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    timed("exact_dedup_docs", lambda: textops.exact_dedup(docs).count())
+    timed("minhash_dedup", lambda: textops.minhash_dedup(docs, threshold=0.5).count())
+    timed("ngram_jaccard", lambda: textops.ngram_jaccard_pairs(docs, threshold=0.5).count())
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("embedding_knn", lambda: similarity.brute_force_knn(emb, queries_df, k=10).count())
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline crawl+corpus workload wall seconds (lower is better)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
