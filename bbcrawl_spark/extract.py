@@ -361,6 +361,17 @@ def extract_links(html_text: str, page_url: str) -> list[ExtractedLink]:
     return out
 
 
+def file_crawler_name(url: str, page_num: int, dl_id: int | None = None) -> str:
+    """FileCrawler naming (crawlers.go:191-199 + downloader.go:261-264):
+    "{page} - {name}" when the URL yields a filename, else the dispatcher's
+    temp name "{id}.download" (the reference's racy global counter id is
+    replaced by the caller's deterministic ordering key)."""
+    name = urlkit.file_name_from_url(url)
+    if name:
+        return f"{page_num} - {name}"
+    return f"{dl_id}.download" if dl_id is not None else ""
+
+
 def extract_text_of(n: Node) -> str:
     parts: list[str] = []
 

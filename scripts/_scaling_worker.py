@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""One parallelism level of the scaling bench: run the engine's core stages
+warm (1st run warms workers/caches, 2nd run timed), print one JSON line.
+
+Sizes are fixed across levels (same input everywhere) and chosen so every
+task carries enough rows that fixed scheduling/Arrow overheads amortize —
+the point is sustained throughput, not job-launch latency.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+CORES = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+N_REGEX = 80_000_000
+N_FRONTIER = 60_000_000
+N_PIPELINE = 12_000_000
+PAGE_MULT = 8_000  # x 66 fixture pages ~= 528k pages
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from bbcrawl_spark.functions import udfs
+    from bbcrawl_spark.operators import dedup, politeness
+    from bbcrawl_spark.plans.session import build_session
+    from bbcrawl_spark.sources.boardsite import make_board_site
+
+    spark = build_session(app_name=f"scaling-{CORES}", cores=CORES)
+    spark.range(0, 256, 1, 64).select(
+        F.pandas_udf(lambda s: s, LongType())("id")
+    ).count()  # warm python workers
+
+    timings: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+    parts = max(CORES * 4, 32)
+
+    def timed(name: str, fn, n_items: int | None = None, unit: str = "") -> None:
+        fn()  # warm
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        timings[name] = round(dt, 2)
+        if n_items:
+            throughput[f"{name}_{unit}_per_sec"] = round(n_items / dt, 0)
+
+    # frontier_gen: pager URL generation + hash, pure codegen
+    from bbcrawl_spark import pagers
+
+    spec = pagers.CutterPagerSpec(
+        url="http://www.example.net/1/test", start=1, end=N_FRONTIER, cut=(24, 1)
+    )
+    fdf = pagers.cutter_frontier(spark, spec, parallelism=parts)
+    timed(
+        "frontier_gen",
+        lambda: fdf.select(F.xxhash64("url").alias("h"))
+        .agg(F.sum(F.pmod(F.col("h"), F.lit(1000)))).first(),
+        N_FRONTIER, "urls",
+    )
+
+    # canonicalize_hash: the F13 regex chain, map-only JVM
+    cdf = spark.range(0, N_REGEX, 1, parts).select(
+        F.concat(
+            F.lit("HTTP://H"), (F.col("id") % 997).cast("string"),
+            F.lit(".Example.com:80/t/"), F.col("id").cast("string"), F.lit("?q=1#f"),
+        ).alias("url")
+    )
+    timed(
+        "canonicalize_hash",
+        lambda: cdf.select(udfs.url_hash_col("url").alias("h"))
+        .agg(F.sum(F.pmod(F.col("h"), F.lit(1000)))).first(),
+        N_REGEX, "urls",
+    )
+
+    # crawl_pipeline: seen anti-join + salted politeness (shuffle-bound)
+    urls = (
+        spark.range(0, N_PIPELINE, 1, parts)
+        .select(
+            F.concat(
+                F.lit("http://h"), (F.col("id") % 997).cast("string"),
+                F.lit(".ex/t/"), F.col("id").cast("string"),
+            ).alias("url"),
+            (F.col("id") % 997).cast("string").alias("host"),
+            F.lit(1).alias("priority"),
+            (F.col("id") % 100).cast("int").alias("page_num"),
+        )
+        .withColumn("url_hash", F.xxhash64("url"))
+    ).cache()
+    urls.count()
+    seen = urls.filter("url_hash % 3 = 0").select("url_hash").cache()
+    seen.count()
+    timed(
+        "crawl_pipeline",
+        lambda: politeness.rank_fetch_slots(
+            dedup.dedup_against_seen(urls, seen), budget=50, salt_partitions=8
+        ).filter("scheduled").count(),
+        N_PIPELINE, "urls",
+    )
+
+    # bloom_roundtrip: build + map-side membership
+    bdir = tempfile.mkdtemp(prefix=f"scaling_bloom_{CORES}_")
+    def bloom():
+        dedup.build_partitioned_bloom(seen, bdir, num_partitions=32)
+        bs = dedup.BloomSpec(bdir, 32)
+        dedup.bloom_maybe_seen(urls, bs).filter("maybe_seen").count()
+    timed("bloom_roundtrip", bloom, N_PIPELINE, "urls")
+
+    # extract_pages: Arrow-batched html text extraction (python workers)
+    site = make_board_site(hosts=2, boards=2, threads=4, pages_per_thread=4)
+    pages = (
+        site.to_df(spark)
+        .withColumn("_m", F.explode(F.sequence(F.lit(1), F.lit(PAGE_MULT))))
+        .drop("_m")
+        .repartition(parts)
+        .cache()
+    )
+    n_pages = pages.count()
+    timed(
+        "extract_pages",
+        lambda: pages.select(F.length(udfs.extract_text_udf("html")).alias("l"))
+        .agg(F.sum(F.pmod(F.col("l"), F.lit(1000)))).first(),
+        n_pages, "pages",
+    )
+
+    spark.stop()
+    print(json.dumps({"cores": CORES, "timings": timings, "throughput": throughput}))
+
+
+if __name__ == "__main__":
+    main()

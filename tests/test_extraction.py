@@ -217,3 +217,14 @@ class TestDomParity:
     def test_nested_same_tag(self):
         doc = htmlkit.parse_html("<div><div><img src='1'></div><img src='2'></div>")
         assert [htmlkit.attr_val(i, "src") for i in htmlkit.elements_by_tag(doc, "img")] == ["1", "2"]
+
+
+class TestFileCrawlerName:
+    def test_named(self):
+        # FileCrawler: "{page} - {name}" (crawlers.go:191-199)
+        assert extract.file_crawler_name("http://h/a/report.pdf", 7) == "7 - report.pdf"
+
+    def test_unnamed_temp(self):
+        # trailing-slash path -> no name -> "{id}.download" (downloader.go:261-264)
+        assert extract.file_crawler_name("http://h/a/", 7, dl_id=42) == "42.download"
+        assert extract.file_crawler_name("http://h/a/", 7) == ""
