@@ -46,20 +46,35 @@ def rank_fetch_slots(
     order_cols: tuple[str, ...] = DEFAULT_ORDER_COLS,
     salt_partitions: int = 0,
     concurrency: int = DEFAULT_CONCURRENCY,
+    mode: str = "group_limit",
+    key_col: str = "url_hash",
 ) -> DataFrame:
     """Add scheduling columns to a round's frontier.
 
     Output columns added:
-      fetch_rank  per-host rank in deterministic crawl order (1-based)
+      fetch_rank  per-host rank in deterministic crawl order (1-based;
+                  0 on unscheduled rows in group_limit mode)
       scheduled   fetch_rank <= budget (this round) vs spill to next round
       slot        (fetch_rank-1) % concurrency — the reference's dispatcher
                   slot the fetch would have occupied
       wave        (fetch_rank-1) / concurrency — dispatch wave within the
                   round (the reference's "≤5 in flight" progression)
 
-    ``salt_partitions > 1`` enables the two-phase salted top-k described in
-    the module docstring; the result is provably identical, only the
-    shuffle profile changes.
+    ``mode``:
+      'group_limit' (default, the 10^10-scale path) — the scheduled set is
+        computed through ``row_number() <= budget`` filters, which Catalyst
+        rewrites to WindowGroupLimit with MAP-SIDE partial limiting: only
+        ~budget rows per host per input partition ever reach the sort
+        exchange. The unscheduled remainder is recovered by a hash
+        anti-join on ``key_col`` (rows must be unique on it — true for a
+        deduped frontier) with fetch_rank 0: a hash exchange instead of a
+        full sort of the whole frontier.
+      'full_rank' — rank every row (full per-host sort). Needed only when
+        unscheduled rows must carry their exact rank.
+
+    ``salt_partitions > 1`` adds the salted pre-phase (see module
+    docstring); the scheduled set is provably identical in all modes —
+    asserted by tests.
     """
     order = [F.col(c) for c in order_cols]
     w = Window.partitionBy(host_col).orderBy(*order)
@@ -75,23 +90,40 @@ def rank_fetch_slots(
             )
         )
 
+    def _salt_phase(df: DataFrame) -> DataFrame:
+        # any row in a host's true top-budget is in its salt's top-budget,
+        # so phase-1 survivors are a superset of the final schedule
+        salted = df.withColumn(
+            "_salt", F.pmod(F.col(key_col), F.lit(salt_partitions)).cast("int")
+        )
+        w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
+        return (
+            salted.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= budget)  # -> WindowGroupLimit (partial)
+            .drop("_r1", "_salt")
+        )
+
+    if mode == "group_limit":
+        pre = _salt_phase(frontier) if salt_partitions > 1 else frontier
+        scheduled = _finalize(pre).filter(
+            F.col("fetch_rank") <= budget  # -> WindowGroupLimit (partial)
+        )
+        unscheduled = (
+            frontier.join(scheduled.select(key_col), key_col, "left_anti")
+            .withColumn("fetch_rank", F.lit(0))
+            .withColumn("scheduled", F.lit(False))
+            .withColumn("slot", F.lit(-1).cast("int"))
+            .withColumn("wave", F.lit(-1).cast("int"))
+        )
+        return scheduled.unionByName(unscheduled)
+
+    if mode != "full_rank":
+        raise ValueError(f"unknown mode: {mode!r}")
     if salt_partitions <= 1:
         return _finalize(frontier)
-
-    # two-phase salted top-k: any row in a host's true top-budget is in its
-    # salt's top-budget, so phase-1 survivors are a superset of the schedule;
-    # phase-1 losers can NEVER be scheduled (>budget better rows exist in
-    # their salt alone) — they are carried through unscheduled (fetch_rank 0)
-    # so the caller's deferred set stays complete.
-    salted = frontier.withColumn(
-        "_salt", F.pmod(F.col("url_hash"), F.lit(salt_partitions)).cast("int")
-    )
-    w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
-    salted = salted.withColumn("_r1", F.row_number().over(w1))
-    survivors = _finalize(salted.filter(F.col("_r1") <= budget).drop("_r1", "_salt"))
+    survivors = _finalize(_salt_phase(frontier))
     losers = (
-        salted.filter(F.col("_r1") > budget)
-        .drop("_r1", "_salt")
+        frontier.join(survivors.select(key_col), key_col, "left_anti")
         .withColumn("fetch_rank", F.lit(0))
         .withColumn("scheduled", F.lit(False))
         .withColumn("slot", F.lit(-1).cast("int"))

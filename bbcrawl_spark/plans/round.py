@@ -162,7 +162,9 @@ class CrawlDriver:
             bloom_spec = dedup.BloomSpec(
                 self.wh.round_snapshot(r - 1, "bloom_dir"), cfg.bloom_partitions
             )
-        cand = dedup.dedup_against_seen(cand, seen, bloom_spec)
+        # persist: group_limit politeness reads the gated frontier from
+        # three branches (rank phase, scheduled select, deferred anti-join)
+        cand = dedup.dedup_against_seen(cand, seen, bloom_spec).persist()
 
         # --- politeness window (W1) ---------------------------------------
         ranked = rank_fetch_slots(
@@ -259,6 +261,7 @@ class CrawlDriver:
             ),
         }
         ranked.unpersist()
+        cand.unpersist()
         fetched.unpersist()
         if cfg.follow_links:
             new_entries.unpersist()

@@ -221,7 +221,8 @@ def query_escape(s: str) -> str:
     """Go ``url.QueryEscape``: space -> '+', everything outside unreserved
     set percent-encoded with uppercase hex."""
     out = []
-    for b in s.encode("utf-8"):
+    # surrogateescape: round-trips arbitrary bytes like Go's byte-strings do
+    for b in s.encode("utf-8", "surrogateescape"):
         c = chr(b)
         if c in _GO_UNRESERVED:
             out.append(c)
@@ -235,16 +236,16 @@ def query_escape(s: str) -> str:
 def _unescape_query(s: str) -> str:
     s = s.replace("+", " ")
     parts = s.split("%")
-    out = [parts[0]]
+    out = [parts[0].encode("utf-8", "surrogateescape")]
     for p in parts[1:]:
         if len(p) >= 2:
             try:
-                out.append(chr(int(p[:2], 16)) + p[2:])
+                out.append(bytes([int(p[:2], 16)]) + p[2:].encode("utf-8", "surrogateescape"))
                 continue
             except ValueError:
                 pass
-        out.append("%" + p)
-    return "".join(out)
+        out.append(b"%" + p.encode("utf-8", "surrogateescape"))
+    return b"".join(out).decode("utf-8", "surrogateescape")
 
 
 def query_encode(values: dict[str, list[str]]) -> str:

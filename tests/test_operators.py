@@ -87,6 +87,23 @@ class TestPoliteness:
         # order key is (priority, page_num, url_hash): page_num ascending here
         assert [r["page_num"] for r in rows] == [0, 1, 2, 3, 4]
 
+    def test_modes_identical(self, spark):
+        # group_limit (anti-join deferred) and full_rank produce the same
+        # scheduled set/ranks and the same unscheduled membership
+        f = self._frontier(spark)
+        gl = politeness.rank_fetch_slots(f, budget=5, mode="group_limit")
+        fr = politeness.rank_fetch_slots(f, budget=5, mode="full_rank")
+        sched = lambda df: sorted(
+            (r["url"], r["fetch_rank"], r["slot"], r["wave"])
+            for r in df.filter("scheduled").collect()
+        )
+        unsched = lambda df: sorted(
+            r["url"] for r in df.filter("NOT scheduled").collect()
+        )
+        assert sched(gl) == sched(fr)
+        assert unsched(gl) == unsched(fr)
+        assert gl.count() == f.count()
+
     def test_salted_identical_schedule(self, spark):
         f = self._frontier(spark)
         plain = politeness.rank_fetch_slots(f, budget=5)
