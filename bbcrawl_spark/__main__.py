@@ -1,0 +1,90 @@
+"""spark-submit job entry: ``spark-submit --py-files bbcrawl_spark.zip
+-m?`` … or ``spark-submit scripts/run_crawl.py`` (see scripts/submit.sh).
+
+Usage (module form, driver-side):
+    python -m bbcrawl_spark --pages PATH --warehouse PATH \
+        --seed URL [--seed URL ...] [--budget N] [--rounds N] \
+        [--bloom-partitions P] [--salt-partitions S] [--exclude URL ...]
+
+Also accepts the reference's own CLI grammar after ``--bbcrawl``:
+    python -m bbcrawl_spark --pages ... --warehouse ... \
+        --bbcrawl -pager vb4 -start 1 -end 10 -crawler vb-attachments URL
+(the pager expands to the seed frontier; the crawler spec selects the
+extraction family).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    bbcrawl_args: list[str] | None = None
+    if "--bbcrawl" in argv:
+        i = argv.index("--bbcrawl")
+        bbcrawl_args = ["bbcrawl", *argv[i + 1 :]]
+        argv = argv[:i]
+
+    ap = argparse.ArgumentParser(prog="bbcrawl_spark")
+    ap.add_argument("--pages", required=True, help="pages table path (parquet/Iceberg)")
+    ap.add_argument("--warehouse", required=True, help="crawl state root")
+    ap.add_argument("--seed", action="append", default=[], help="seed URL (repeatable)")
+    ap.add_argument("--budget", type=int, default=5)
+    ap.add_argument("--rounds", type=int, default=100)
+    ap.add_argument("--bloom-partitions", type=int, default=0)
+    ap.add_argument("--salt-partitions", type=int, default=0)
+    ap.add_argument("--exclude", action="append", default=[])
+    ap.add_argument("--no-follow-links", action="store_true")
+    ap.add_argument("--cores", type=int, default=None, help="local mode cores (omit on a cluster)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .plans.round import CrawlConfig, CrawlDriver
+
+    seeds = [(u, i, 0) for i, u in enumerate(args.seed)]
+    excludes = tuple(args.exclude)
+
+    # Under spark-submit a session already exists / is configured by the
+    # submitter; build_session is the local-mode convenience.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    elif args.cores:
+        from .plans.session import build_session
+
+        spark = build_session(cores=args.cores)
+    else:
+        spark = SparkSession.builder.getOrCreate()
+
+    if bbcrawl_args is not None:
+        from . import cmdline, pagers
+        from .plans.round import frontier_from_urls
+
+        pager_spec, crawler_spec, _ = cmdline.parse_command(bbcrawl_args)
+        seed_urls = [u for _, _, u in pagers.pager_sequence(pager_spec)]
+        seeds = [(u, i, 0) for i, u in enumerate(seed_urls)]
+        excludes = excludes + tuple(crawler_spec.excludes)
+
+    cfg = CrawlConfig(
+        pages_path=args.pages,
+        warehouse_root=args.warehouse,
+        seeds=seeds,
+        budget=args.budget,
+        max_rounds=args.rounds,
+        bloom_partitions=args.bloom_partitions,
+        salt_partitions=args.salt_partitions,
+        excludes=excludes,
+        follow_links=not args.no_follow_links,
+    )
+    summary = CrawlDriver(spark, cfg).run()
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
