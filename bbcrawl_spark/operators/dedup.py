@@ -104,20 +104,32 @@ def build_partitioned_bloom(
     spec = BloomSpec(path, num_partitions)
     k = spec.num_hashes
 
-    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pid = int(pdf["_bloom_pid"].iloc[0])
-        hashes = pdf[hash_col].to_numpy(dtype=np.int64)
-        bitmap = _build_blob(hashes, bits_per_key, k)
-        np.save(spec.blob_path(pid), bitmap)
-        return pd.DataFrame(
-            {"partition_id": [pid], "n_items": [len(hashes)], "m_bits": [len(bitmap) * 8]}
-        )
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one task owns whole bloom partitions (explicit repartition on the
+        # pid column); build every pid present in this task's batches
+        buckets: dict[int, list[np.ndarray]] = {}
+        for pdf in batches:
+            hashes = pdf[hash_col].to_numpy(dtype=np.int64)
+            pids = (hashes % num_partitions + num_partitions) % num_partitions
+            for pid in np.unique(pids):
+                buckets.setdefault(int(pid), []).append(hashes[pids == pid])
+        rows = []
+        for pid, chunks in buckets.items():
+            hashes = np.concatenate(chunks)
+            bitmap = _build_blob(hashes, bits_per_key, k)
+            np.save(spec.blob_path(pid), bitmap)
+            rows.append((pid, len(hashes), len(bitmap) * 8))
+        yield pd.DataFrame(rows, columns=["partition_id", "n_items", "m_bits"])
 
+    # explicit repartition: a user-specified exchange AQE will not coalesce
+    # away — without it a small seen set collapses to ONE task building all
+    # P blooms serially. repartition on the pid column co-locates each
+    # bloom partition wholly inside one task.
+    pid_col = F.pmod(F.col(hash_col), F.lit(num_partitions)).cast("int")
     manifest = (
         seen.select(hash_col)
-        .withColumn("_bloom_pid", F.pmod(F.col(hash_col), F.lit(num_partitions)).cast("int"))
-        .groupBy("_bloom_pid")
-        .applyInPandas(_build, "partition_id int, n_items long, m_bits long")
+        .repartition(num_partitions, pid_col)
+        .mapInPandas(_build, "partition_id int, n_items long, m_bits long")
     )
     # materialize so the blobs exist before anyone reads them
     manifest = manifest.cache()
@@ -125,38 +137,45 @@ def build_partitioned_bloom(
     return manifest
 
 
+@lru_cache(maxsize=256)
+def _load_blob(path: str, pid: int):
+    """Per-worker-process blob cache (shared across tasks via lru_cache on
+    the module function — each executor python worker loads a blob once)."""
+    p = os.path.join(path, f"bloom_{pid:05d}.npy")
+    return np.load(p) if os.path.exists(p) else None
+
+
+def _bloom_check_arrays(hashes: np.ndarray, path: str, P: int, k: int) -> np.ndarray:
+    pids = (hashes % P + P) % P  # pmod parity with Spark
+    maybe = np.zeros(len(hashes), dtype=bool)
+    for pid in np.unique(pids):
+        blob = _load_blob(path, int(pid))
+        if blob is None:
+            continue  # empty partition -> nothing seen there
+        sel = pids == pid
+        maybe[sel] = _check_blob(hashes[sel], blob, k)
+    return maybe
+
+
+def make_bloom_udf(spec: BloomSpec):
+    """Scalar pandas UDF ``url_hash -> maybe_seen`` — Arrow transfers only
+    the 8-byte hash column, never the full row (a mapInPandas variant
+    round-tripped every column and was ~5x slower on wide frontiers)."""
+    path, P, k = spec.path, spec.num_partitions, spec.num_hashes
+
+    def _maybe_seen(h: pd.Series) -> pd.Series:
+        return pd.Series(_bloom_check_arrays(h.to_numpy(dtype=np.int64), path, P, k))
+
+    return F.pandas_udf(_maybe_seen, BooleanType())
+
+
 def bloom_maybe_seen(df: DataFrame, spec: BloomSpec, hash_col: str = "url_hash") -> DataFrame:
-    """Add ``maybe_seen: boolean`` map-side (mapInPandas, zero shuffle).
+    """Add ``maybe_seen: boolean`` map-side (scalar Arrow UDF, zero shuffle).
 
     False means *definitely not seen* (Bloom has no false negatives);
     True must be confirmed by the exact anti-join.
     """
-    path, P, k = spec.path, spec.num_partitions, spec.num_hashes
-    fields = df.schema.fieldNames()
-    # NB: df.schema.add() would mutate the DataFrame's cached schema object
-    out_schema = StructType(list(df.schema.fields) + [StructField("maybe_seen", BooleanType())])
-
-    def _filter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        @lru_cache(maxsize=64)
-        def load(pid: int):
-            p = os.path.join(path, f"bloom_{pid:05d}.npy")
-            return np.load(p) if os.path.exists(p) else None
-
-        for pdf in batches:
-            hashes = pdf[hash_col].to_numpy(dtype=np.int64)
-            pids = (hashes % P + P) % P  # pmod parity with Spark
-            maybe = np.zeros(len(pdf), dtype=bool)
-            for pid in np.unique(pids):
-                blob = load(int(pid))
-                if blob is None:
-                    continue  # empty partition -> nothing seen there
-                sel = pids == pid
-                maybe[sel] = _check_blob(hashes[sel], blob, k)
-            out = pdf.copy()
-            out["maybe_seen"] = maybe
-            yield out
-
-    return df.mapInPandas(_filter, out_schema).select(*fields, "maybe_seen")
+    return df.withColumn("maybe_seen", make_bloom_udf(spec)(F.col(hash_col)))
 
 
 def dedup_against_seen(
