@@ -188,15 +188,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard ≥ threshold pairs via shingle co-occurrence:
     |A∩B| from a self-join on exploded distinct shingles, |A|,|B| from
     per-doc shingle counts. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_shingle_df`` is the scale lever: a shingle occurring in more than
+    that many documents contributes O(df²) join rows while carrying almost
+    no similarity signal — dropping it from the JOIN side (sizes keep
+    counting it) makes the reported jaccard a LOWER bound, so no false
+    near-dup is ever introduced; pairs whose overlap is exclusively
+    stop-shingles may be missed (the standard web-dedup trade).
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))

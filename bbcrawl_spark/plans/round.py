@@ -37,7 +37,14 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.udfs import extract_links_udf, extract_text_udf, host_of, url_hash_col
+from ..functions.udfs import (
+    extract_links_udf,
+    extract_text_udf,
+    extract_vb_udf,
+    host_of,
+    make_extract_srcs_udf,
+    url_hash_col,
+)
 from ..operators import dedup
 from ..operators.politeness import rank_fetch_slots
 from ..operators.priority import priority_score_col
@@ -66,6 +73,13 @@ class CrawlConfig:
     robots: dict[str, str] = field(default_factory=dict)  # host -> robots.txt body
     user_agent: str = "*"
     metrics_partitions: int = 16  # per-partition lineage granularity
+    # crawler family (reference -crawler flag): '' = text+links only;
+    # 'vb-attachments' / 'src' additionally emit the downloads table the
+    # reference would have fetched (its primary output)
+    crawler: str = ""
+    headernames: bool = False  # vb -names-from-header
+    tags: tuple[str, ...] = ("audio", "img", "video")  # src -tags
+    attrs: tuple[tuple[str, str], ...] = ()  # src -attrs pairs
 
 
 def page_num_col(url) -> F.Column:
@@ -209,6 +223,50 @@ class CrawlDriver:
         else:
             new_entries = self.spark.createDataFrame([], FRONTIER_SCHEMA)
 
+        # --- crawler-family downloads (the reference's primary output) ----
+        downloads = None
+        if cfg.crawler == "vb-attachments":
+            ex = extract_vb_udf("html", "url")
+            if cfg.headernames:
+                # name completed from Content-Disposition post-download
+                # (afterdownload.go:27-46); prefix carried in out_name
+                pass
+            downloads = fetched.select(
+                F.lit(r).alias("round"), F.col("url").alias("page_url"),
+                "page_num", F.explode(ex).alias("f"),
+            ).select("round", "page_url", "page_num", "f.*")
+        elif cfg.crawler == "src":
+            src_udf = make_extract_srcs_udf(cfg.tags, list(cfg.attrs) or None)
+            downloads = fetched.select(
+                F.lit(r).alias("round"), F.col("url").alias("page_url"),
+                "page_num", F.explode(src_udf("html", "url", "page_num")).alias("f"),
+            ).select("round", "page_url", "page_num", "f.*")
+        elif cfg.crawler == "file":
+            # every frontier url IS the download (crawlers.go:191-212)
+            downloads = scheduled.select(
+                F.lit(r).alias("round"), F.col("url").alias("page_url"),
+                "page_num", F.lit("file").alias("kind"), F.col("url").alias("link"),
+                F.col("url").alias("abs_url"),
+                # "{page} - {name}"; empty name -> dispatcher temp-name case
+                # (downloader.go:261-264), marked by an empty out_name here
+                F.when(
+                    F.regexp_extract(
+                        F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("")),
+                        r"/([^/]+)$", 1) == "",
+                    F.lit(""),
+                ).otherwise(
+                    F.concat(
+                        F.col("page_num").cast("string"), F.lit(" - "),
+                        F.regexp_extract(
+                            F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("")),
+                            r"/([^/]+)$", 1),
+                    )
+                ).alias("out_name"),
+                F.lit("").alias("dir_rel"), F.lit("").alias("post_id"),
+                F.lit(0).alias("att_id"), F.lit(-1).alias("element_index"),
+                F.lit("").alias("err"),
+            )
+
         # --- merge deferred ∪ new, dedup by url_hash (oracle step 6) ------
         merged = deferred.unionByName(new_entries)
         dw = Window.partitionBy("url_hash").orderBy(
@@ -260,6 +318,10 @@ class CrawlDriver:
                 "metrics", metrics, parent_snapshot=pin("metrics")
             ),
         }
+        if downloads is not None:
+            sids["downloads"] = self.wh.append(
+                "downloads", downloads, parent_snapshot=pin("downloads")
+            )
         ranked.unpersist()
         cand.unpersist()
         fetched.unpersist()
@@ -303,6 +365,10 @@ class CrawlDriver:
 
     def fetched_texts(self) -> DataFrame:
         return self._last("fetched").select("url", "text")
+
+    def downloads(self) -> DataFrame:
+        """The crawler family's download rows (reference primary output)."""
+        return self._last("downloads")
 
     def metrics(self) -> DataFrame:
         return self._last("metrics")

@@ -115,6 +115,41 @@ class TestCrawlEquivalence:
         assert _order(drv) == want.crawl_order
 
 
+class TestCrawlerFamilies:
+    def test_vb_downloads_table(self, spark, site, pages_path, tmp_path, want):
+        """crawler='vb-attachments' emits the downloads table the reference
+        would have fetched — byte-identical naming per fetched page."""
+        from bbcrawl_spark import extract
+        from bbcrawl_spark.htmlkit import decode_html
+
+        drv = _driver(spark, site, pages_path, tmp_path / "whd", crawler="vb-attachments")
+        drv.run()
+        got = {
+            (r["page_url"], r["post_id"], r["att_id"]): r["out_name"]
+            for r in drv.downloads().filter("err = ''").collect()
+        }
+        expected = {}
+        for url in want.texts:  # = exactly the fetched pages
+            html = decode_html(site.pages[url], "text/html; charset=utf-8")
+            for f in extract.extract_vb_attachments(html, url):
+                if not f.err:
+                    expected[(url, f.post_id, f.att_id)] = f.out_name
+        assert got == expected
+        assert len(expected) > 0
+
+    def test_file_crawler_downloads(self, spark, site, pages_path, tmp_path):
+        drv = _driver(
+            spark, site, pages_path, tmp_path / "whf",
+            crawler="file", follow_links=False,
+        )
+        drv.run()
+        rows = drv.downloads().collect()
+        # every scheduled seed is one download named "{page} - {name}"
+        assert {r["page_url"] for r in rows} == {u for u, _, _ in site.seeds}
+        for r in rows:
+            assert r["out_name"].startswith(f"{r['page_num']} - ")
+
+
 class TestResume:
     def test_kill_and_resume_identical_final_state(
         self, spark, site, pages_path, tmp_path, want

@@ -240,3 +240,22 @@ class TestMultimodal:
             by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
         assert by_id[0] == [0, 2]  # height 4 -> frames 0,2
         assert by_id[1] == [0, 2, 4]  # height 5 -> frames 0,2,4
+
+
+class TestNgramJaccardScaleCap:
+    def test_cap_never_creates_false_pairs(self, spark):
+        df = _docs_df(spark, NEAR_DUP_TEXTS)
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in textops.ngram_jaccard_pairs(df, threshold=0.5).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in textops.ngram_jaccard_pairs(
+                df, threshold=0.5, max_shingle_df=3
+            ).collect()
+        }
+        # capped jaccard is a lower bound -> capped pairs ⊆ exact pairs
+        assert capped <= exact
+        # the exact dup (identical text) always survives any df cap > 1
+        assert (0, 3) in capped
