@@ -61,14 +61,22 @@ def main(argv: list[str] | None = None) -> int:
     else:
         spark = SparkSession.builder.getOrCreate()
 
+    crawler_kind = ""
+    headernames = False
+    tags: tuple[str, ...] = ("audio", "img", "video")
+    attrs: tuple[tuple[str, str], ...] = ()
     if bbcrawl_args is not None:
         from . import cmdline, pagers
-        from .plans.round import frontier_from_urls
 
         pager_spec, crawler_spec, _ = cmdline.parse_command(bbcrawl_args)
         seed_urls = [u for _, _, u in pagers.pager_sequence(pager_spec)]
         seeds = [(u, i, 0) for i, u in enumerate(seed_urls)]
         excludes = excludes + tuple(crawler_spec.excludes)
+        crawler_kind = crawler_spec.kind
+        headernames = crawler_spec.headernames
+        if crawler_spec.tags:
+            tags = crawler_spec.tags
+        attrs = crawler_spec.attrs
 
     cfg = CrawlConfig(
         pages_path=args.pages,
@@ -80,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
         salt_partitions=args.salt_partitions,
         excludes=excludes,
         follow_links=not args.no_follow_links,
+        crawler=crawler_kind,
+        headernames=headernames,
+        tags=tags,
+        attrs=attrs,
     )
     summary = CrawlDriver(spark, cfg).run()
     print(json.dumps(summary))

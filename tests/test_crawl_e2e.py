@@ -164,6 +164,32 @@ class TestResume:
         assert _order(d2) == want.crawl_order
         assert {r["url_hash"] for r in d2.seen_set().collect()} == want.seen
 
+    def test_crash_mid_round_resume_identical(
+        self, spark, site, pages_path, tmp_path, want
+    ):
+        """Crash AFTER some snapshot writes but BEFORE the round commit:
+        the orphan snapshots must be invisible to resume (round-log pinning)
+        and the final state identical to an uninterrupted run."""
+        wh = tmp_path / "whc"
+        d1 = _driver(spark, site, pages_path, wh)
+        d1.run(max_rounds=2)
+        # simulate a crashed round 2: tables written, commit_round never ran
+        junk = spark.createDataFrame(
+            [("http://junk.example/x", 1, "junk.example", 0, 0, 0, 1)],
+            "url string, url_hash long, host string, priority int, "
+            "page_num int, seed_id long, discovered_in int",
+        )
+        d1.wh.write("frontier", junk)  # orphan overwrite snapshot
+        d1.wh.append("seen", junk.select("url_hash"))  # orphan append
+        assert d1.wh.last_committed_round() == 1  # commit barrier intact
+        d2 = _driver(spark, site, pages_path, wh)
+        d2.run()
+        got_order = [
+            (r["round"], r["url"]) for r in d2.crawl_order().orderBy("rank").collect()
+        ]
+        assert got_order == want.crawl_order
+        assert {r["url_hash"] for r in d2.seen_set().collect()} == want.seen
+
     def test_rerun_after_done_is_noop(self, run, spark, site, pages_path):
         drv, s1 = run
         d2 = _driver(spark, site, pages_path, drv.cfg.warehouse_root)
