@@ -373,6 +373,16 @@ def q_ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_knn(e, queries, dim=dim, k=10, num_planes=4, num_tables=16)
 
 
+def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_knn(e, queries, dim=64, k=10, n_centroids=16, n_probe=4)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bbcrawl_spark.operators import multimodal
 
@@ -464,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "ann_lsh_knn": q_ann_lsh_knn,
+        "ann_ivf_knn": q_ann_ivf_knn,
         "multimodal_features": q_multimodal_features,
         "crawl_roundtrip": q_crawl_roundtrip,
     }

@@ -125,6 +125,65 @@ def lsh_knn(
     )
 
 
+def make_ivf_assign_udf(dim: int, n_centroids: int = 16, n_probe: int = 1,
+                        seed: int = 42):
+    """pandas UDF: embedding -> array of the n_probe nearest centroid ids.
+
+    Centroids are seeded unit vectors (data-independent, fully
+    deterministic — a trained-kmeans codebook slots in by replacing the
+    matrix). One numpy matmul per Arrow batch.
+    """
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((n_centroids, dim)).astype(np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def ivf_assign(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="object")
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vec])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cents.T  # n × centroids
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series(top.astype(np.int64).tolist())
+
+    return ivf_assign
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their single nearest-centroid
+    inverted list; queries probe their n_probe nearest lists and score
+    exactly within them. The corpus shuffles once on centroid id — the
+    classic big-corpus/small-query scale shape. Self-match guaranteed
+    (a vector's own list is always its query's first probe)."""
+    assign = make_ivf_assign_udf(dim, n_centroids, n_probe=1)
+    probe = make_ivf_assign_udf(dim, n_centroids, n_probe=n_probe)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
+    ).withColumn("centroid", F.element_at(assign(F.col("_cvec")), 1))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).select("query_id", "_qvec", F.explode(probe(F.col("_qvec"))).alias("centroid"))
+    scored = c.join(F.broadcast(q), "centroid").select(
+        "query_id", "vec_id", cosine(F.col("_qvec"), F.col("_cvec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("knn_rank", F.row_number().over(w)).filter(
+        F.col("knn_rank") <= k
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

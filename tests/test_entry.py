@@ -58,7 +58,7 @@ def test_all_queries_have_entry_or_rows_only():
     rows_only = set(qs) - set(oracles)
     # only genuinely non-SQL-expressible ops may skip the oracle
     assert rows_only <= {
-        "minhash_dedup_docs", "simhash_pairs_docs", "ann_lsh_knn",
+        "minhash_dedup_docs", "simhash_pairs_docs", "ann_lsh_knn", "ann_ivf_knn",
         "multimodal_features", "crawl_roundtrip",
     }
 
@@ -70,7 +70,7 @@ def test_entry_smoke(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["minhash_dedup_docs", "simhash_pairs_docs", "ann_lsh_knn",
+    "name", ["minhash_dedup_docs", "simhash_pairs_docs", "ann_lsh_knn", "ann_ivf_knn",
              "multimodal_features"]
 )
 def test_rows_only_queries_run(spark, name):

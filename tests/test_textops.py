@@ -259,3 +259,26 @@ class TestNgramJaccardScaleCap:
         assert capped <= exact
         # the exact dup (identical text) always survives any df cap > 1
         assert (0, 3) in capped
+
+
+class TestIVF:
+    def test_ivf_self_match_and_recall(self, spark, emb):
+        corpus = emb.limit(300).cache()
+        queries = corpus.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+        dim = len(corpus.first()["embedding"])
+        exact = similarity.brute_force_knn(corpus, queries, k=5)
+        approx = similarity.ivf_knn(
+            corpus, queries, dim=dim, k=5, n_centroids=8, n_probe=4
+        )
+        e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+        # a vector's own inverted list is always probed first
+        assert all((q, q) in a for q in {p[0] for p in e})
+        assert len(e & a) / len(e) >= 0.5
+
+    def test_ivf_deterministic(self, spark, emb):
+        corpus = emb.limit(50).cache()
+        queries = corpus.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+        r1 = sorted(map(tuple, similarity.ivf_knn(corpus, queries, dim=64, k=3).collect()))
+        r2 = sorted(map(tuple, similarity.ivf_knn(corpus, queries, dim=64, k=3).collect()))
+        assert r1 == r2
