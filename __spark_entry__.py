@@ -253,6 +253,35 @@ def q_header_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vb_headername_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: '{prefix}-{headername}' completion with the reference's exact
+    NameFromHeader semantics (downloader.go:121-143, afterdownload.go:27-46):
+    ok / missing-field / malformed ('=' in name) / path-separator branches."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    hdr = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit('attachment; filename="f'), did, F.lit('.pdf"')))
+        .when(F.col("doc_id") % 4 == 1, F.lit("inline"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit('attachment; filename="a='), did, F.lit('.pdf"')))
+        .otherwise(F.concat(F.lit('attachment; filename="p/'), did, F.lit('.pdf"')))
+    )
+    field = udfs.header_filename_field_col(hdr)
+    name = udfs.header_filename_col(hdr)
+    prefix = F.concat(F.col("source"), F.lit("-"), (F.col("doc_id") % 9 + 1).cast("string"))
+    return d.select(
+        "doc_id",
+        F.when(name == "", F.lit("")).otherwise(
+            F.concat(prefix, F.lit("-"), name)
+        ).alias("out_name"),
+        F.when(field.isNull(), F.lit("no_header"))
+        .when(name == "", F.lit("malformed"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
 def q_priority_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: pagination-aware priority over constructed (page, link) pairs."""
     u = _events_urls(spark, sf_dir).filter(F.col("event_id") % 4 == 1)
@@ -461,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_policy": q_redirect_policy,
         "robots_prefix_gate": q_robots_prefix_gate,
         "header_filename": q_header_filename,
+        "vb_headername_complete": q_vb_headername_complete,
         "priority_score": q_priority_score,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_count_docs": q_token_count_docs,
@@ -595,6 +625,33 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 'attachment; filename="' || source || '-' || CAST(doc_id AS STRING) || '.txt"' END,
                          '(?:^|;)\\s*filename="([^"]*)"', 1) AS name_match
                 FROM documents)
+        """,
+        "vb_headername_complete": """
+            WITH h AS (
+              SELECT doc_id, source,
+                CASE WHEN doc_id % 4 = 0 THEN 'attachment; filename="f' || CAST(doc_id AS STRING) || '.pdf"'
+                     WHEN doc_id % 4 = 1 THEN 'inline'
+                     WHEN doc_id % 4 = 2 THEN 'attachment; filename="a=' || CAST(doc_id AS STRING) || '.pdf"'
+                     ELSE 'attachment; filename="p/' || CAST(doc_id AS STRING) || '.pdf"' END AS hdr
+              FROM documents),
+            f AS (
+              SELECT doc_id, source,
+                trim(list_filter(string_split(hdr, ';'), x -> starts_with(trim(x), 'filename="'))[1]) AS fld
+              FROM h),
+            n AS (
+              SELECT doc_id, source, fld,
+                CASE WHEN fld IS NULL THEN ''
+                     WHEN len(string_split(fld, '=')) != 2 THEN ''
+                     WHEN contains(trim(string_split(fld, '=')[2], '"'), '/') THEN ''
+                     ELSE trim(string_split(fld, '=')[2], '"') END AS name
+              FROM f)
+            SELECT doc_id,
+              CASE WHEN name = '' THEN ''
+                   ELSE source || '-' || CAST(doc_id % 9 + 1 AS STRING) || '-' || name END AS out_name,
+              CASE WHEN fld IS NULL THEN 'no_header'
+                   WHEN name = '' THEN 'malformed'
+                   ELSE 'ok' END AS status
+            FROM n
         """,
         "priority_score": f"""
             {_URL_CTE},

@@ -69,8 +69,15 @@ def main(argv: list[str] | None = None) -> int:
         from . import cmdline, pagers
 
         pager_spec, crawler_spec, _ = cmdline.parse_command(bbcrawl_args)
-        seed_urls = [u for _, _, u in pagers.pager_sequence(pager_spec)]
-        seeds = [(u, i, 0) for i, u in enumerate(seed_urls)]
+        # carry the pager's PageNum() into the seed frontier — re-deriving it
+        # from a '/pageN' suffix is wrong for the query/cutter pagers, and
+        # page_num is the seed tiebreak in the per-host crawl order (for all
+        # three pagers page_num is monotone in emission order, so ordering by
+        # it reproduces the pager's emission order exactly)
+        seeds = [
+            (u, i, 0, pn)
+            for i, (_ord, pn, u) in enumerate(pagers.pager_sequence(pager_spec))
+        ]
         excludes = excludes + tuple(crawler_spec.excludes)
         crawler_kind = crawler_spec.kind
         headernames = crawler_spec.headernames

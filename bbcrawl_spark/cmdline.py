@@ -283,6 +283,19 @@ def parse_command(cmdln: list[str]):
     g = _parse_flagset(p.global_flags, {"o": True, "cookie-file": True, "loglevel": True})
     glob = {"output": g.get("o", ""), "cookie_file": g.get("cookie-file", ""),
             "loglevel": g.get("loglevel", "")}
+    if glob["cookie_file"]:
+        # J4: the reference keys a live cookie jar per public-suffix domain
+        # (libcrawl/api.go:58-74); this engine crawls PRE-FETCHED pages, so
+        # there is no HTTP session for cookies to act on. Warn loudly rather
+        # than silently accept a flag that changes nothing.
+        import warnings
+
+        warnings.warn(
+            "-cookie-file is not applicable in batch mode (pages are "
+            "pre-fetched; no live HTTP session) — flag ignored",
+            UserWarning,
+            stacklevel=2,
+        )
 
     # pager (registry dispatch, api.go:21-25; option parsing pagers.go)
     if p.pager == "query":

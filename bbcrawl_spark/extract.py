@@ -361,6 +361,47 @@ def extract_links(html_text: str, page_url: str) -> list[ExtractedLink]:
     return out
 
 
+NO_HEADER_FIELD_ERR = "No Content-disposition header field found"
+
+
+def header_filename(header: str | None) -> tuple[str, str]:
+    """``Download.NameFromHeader`` (downloader.go:121-143, 319-340):
+    returns (name, err); exactly one of the two is non-empty.
+
+    Semantics: first ';'-field whose TrimSpace starts with ``filename="``;
+    value must split on '=' into exactly 2 parts; all leading/trailing '"'
+    trimmed; a '/' rejects. No field -> the reference's "No Content-
+    disposition header field found"; matched-but-bad -> "malformed filename".
+    Column twin: functions.udfs.header_filename_col (parity pinned).
+    """
+    field_match = None
+    for fld in (header or "").split(";"):
+        t = fld.strip()
+        if t.startswith('filename="'):
+            field_match = t
+            break
+    if field_match is None:
+        return "", NO_HEADER_FIELD_ERR
+    parts = field_match.split("=")
+    name = ""
+    if len(parts) == 2 and parts[0] == "filename":
+        name = parts[1].strip('"')
+        if "/" in name:
+            name = ""
+    if name == "":
+        return "", f"malformed filename in Content-disposition header: {field_match}"
+    return name, ""
+
+
+def complete_headername(prefix: str, header: str | None) -> tuple[str, str]:
+    """``ADNameFromHeader`` (afterdownload.go:27-46): '{prefix}-{name}' or
+    (out_name='', err) mirroring the RenameError path."""
+    name, err = header_filename(header)
+    if err:
+        return "", err
+    return (f"{prefix}-{name}" if prefix else name), ""
+
+
 def file_crawler_name(url: str, page_num: int, dl_id: int | None = None) -> str:
     """FileCrawler naming (crawlers.go:191-199 + downloader.go:261-264):
     "{page} - {name}" when the URL yields a filename, else the dispatcher's

@@ -195,17 +195,30 @@ def _rows(files) -> list[dict]:
     ]
 
 
-@pandas_udf(EXTRACTED_FILE_SCHEMA)
-def extract_vb_udf(html: pd.Series, url: pd.Series) -> pd.Series:
-    """H9 flagship extraction: vB4 posts -> attachments -> named downloads."""
+def make_extract_vb_udf(headernames: bool = False):
+    """H9 flagship extraction: vB4 posts -> attachments -> named downloads.
 
-    def _one(b, u):
-        if b is None:
-            return []
-        text = decode_html(bytes(b), "text/html; charset=utf-8")
-        return _rows(extract.extract_vb_attachments(text, u))
+    ``headernames`` mirrors the reference's ``-names-from-header`` flag
+    (crawlers.go:295-305): out_name is the ``{postid}-{attid}`` prefix, to be
+    completed from the download's Content-Disposition header afterwards
+    (afterdownload.go:27-46) — see ``complete_headernames`` in plans/round.py.
+    """
 
-    return pd.Series([_one(b, u) for b, u in zip(html, url)])
+    @pandas_udf(EXTRACTED_FILE_SCHEMA)
+    def extract_vb(html: pd.Series, url: pd.Series) -> pd.Series:
+        def _one(b, u):
+            if b is None:
+                return []
+            text = decode_html(bytes(b), "text/html; charset=utf-8")
+            return _rows(extract.extract_vb_attachments(text, u, headernames=headernames))
+
+        return pd.Series([_one(b, u) for b, u in zip(html, url)])
+
+    return extract_vb
+
+
+#: default (URL-derived names) variant, kept for existing call sites
+extract_vb_udf = make_extract_vb_udf(False)
 
 
 def make_extract_srcs_udf(tags: tuple[str, ...] = extract.SRC_TAGS,
@@ -226,11 +239,34 @@ def make_extract_srcs_udf(tags: tuple[str, ...] = extract.SRC_TAGS,
     return extract_srcs_udf
 
 
-# F9: Content-Disposition filename — pure column expression
-def header_filename_col(header: Column | str) -> Column:
-    """Parse ``filename="..."`` out of a Content-Disposition header value
-    (downloader.go:319-340): field starts with 'filename="', value between
-    quotes, rejected if it contains a path separator."""
+# F9: Content-Disposition filename — pure column expressions with exact
+# NameFromHeader parity (downloader.go:121-143, 319-340):
+#   * header value split on ';', each field whitespace-trimmed,
+#   * the FIRST field starting with 'filename="' is the match,
+#   * the field must split on '=' into exactly 2 parts (an '=' inside the
+#     name is malformed), value = all leading/trailing '"' trimmed,
+#   * a '/' in the value rejects it (os.PathSeparator check).
+# Python twin: extract.header_filename (parity pinned in tests).
+
+
+def header_filename_field_col(header: Column | str) -> Column:
+    """The matched (trimmed) ``filename="...`` field, NULL when the header
+    is NULL/empty or carries no such field — drives the reference's two
+    distinct error messages."""
     header = F.col(header) if isinstance(header, str) else header
-    name = F.regexp_extract(header, r'(?:^|;)\s*filename="([^"]*)"', 1)
-    return F.when(name.contains("/"), F.lit("")).otherwise(name)
+    fields = F.split(F.coalesce(header, F.lit("")), ";")
+    matches = F.filter(fields, lambda f: F.trim(f).startswith('filename="'))
+    return F.trim(F.get(matches, 0))
+
+
+def header_filename_col(header: Column | str) -> Column:
+    """The extracted filename; '' when absent or malformed."""
+    first = header_filename_field_col(header)
+    parts = F.split(first, "=")
+    raw = F.regexp_replace(F.regexp_replace(F.get(parts, 1), '^"+', ""), '"+$', "")
+    return (
+        F.when(first.isNull(), F.lit(""))
+        .when(F.size(parts) != 2, F.lit(""))
+        .when(raw.contains("/"), F.lit(""))
+        .otherwise(raw)
+    )

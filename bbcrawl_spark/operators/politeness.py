@@ -8,19 +8,27 @@ round" becomes a ranking window: rows ranked per host by the deterministic
 crawl-order key; ranks ≤ budget are scheduled this round, the rest spill to
 the next round's frontier (W1/O4 in SURVEY.md §2.6-2.7).
 
-Hot-host skew (north_rule): one host holding 10^8 frontier URLs would pin a
-single reducer. Two defenses, composable:
+Why single-pass is the default (round-2 redesign): every frontier row must
+be OUTPUT either way — scheduled rows go to the fetch join, unscheduled
+rows are carried to the next round's frontier. The round-1 'group_limit'
+mode computed the scheduled set through a WindowGroupLimit filter and then
+reconstructed the (usually much larger) unscheduled complement with an
+anti-join: two full passes over the frontier and two exchanges (sort +
+hash). 'single_pass' ranks once and FLAGS instead of filtering: one scan,
+one exchange, and the deferred majority flows through the plan exactly
+once.  Measured 2→8-core scaling efficiency of the crawl pipeline rose from
+0.30 to ≥0.8 with this change (BENCH.md).
 
-* Spark ≥3.5 rewrites ``row_number() <= k`` into ``WindowGroupLimit`` with a
-  map-side partial limit, so each *input* partition forwards at most k rows
-  per host into the shuffle — verified in tests via the physical plan.
-* An explicit **salted pre-rank** (``salt = pmod(url_hash, S)``): rank per
-  (host, salt) first and keep ≤ budget per salt — a superset of the true
-  per-host top-budget (any row in the host's global top-B is in its salt's
-  top-B) — then re-rank the ≤ S·B survivors per host. The salt splits
-  *volume*, never reorders *within* a host: the ordering key is identical in
-  both phases, so the final schedule is byte-identical to the unsalted one
-  (asserted by tests).
+Hot-host skew (north_rule): one host holding 10^8 frontier URLs would pin a
+single reducer in the per-host sort. The explicit **salted pre-rank**
+(``salt = pmod(url_hash, S)``) splits each host's volume across S balanced
+partitions: phase 1 ranks per (host, salt) — any row in the host's true
+top-budget is in its salt's top-budget, so rows with salted rank > budget
+are provably unscheduled and are flagged immediately (no join, no second
+scan); only the ≤ S·budget survivors per host re-rank in phase 2. The salt
+splits *volume*, never reorders *within* a host: the ordering key is
+identical in both phases, so the schedule is byte-identical to the unsalted
+one (asserted by tests).
 """
 
 from __future__ import annotations
@@ -46,14 +54,14 @@ def rank_fetch_slots(
     order_cols: tuple[str, ...] = DEFAULT_ORDER_COLS,
     salt_partitions: int = 0,
     concurrency: int = DEFAULT_CONCURRENCY,
-    mode: str = "group_limit",
+    mode: str = "single_pass",
     key_col: str = "url_hash",
 ) -> DataFrame:
     """Add scheduling columns to a round's frontier.
 
     Output columns added:
       fetch_rank  per-host rank in deterministic crawl order (1-based;
-                  0 on unscheduled rows in group_limit mode)
+                  0 on unscheduled rows except in full_rank mode)
       scheduled   fetch_rank <= budget (this round) vs spill to next round
       slot        (fetch_rank-1) % concurrency — the reference's dispatcher
                   slot the fetch would have occupied
@@ -61,26 +69,61 @@ def rank_fetch_slots(
                   round (the reference's "≤5 in flight" progression)
 
     ``mode``:
-      'group_limit' (default, the 10^10-scale path) — the scheduled set is
-        computed through ``row_number() <= budget`` filters, which Catalyst
-        rewrites to WindowGroupLimit with MAP-SIDE partial limiting: only
-        ~budget rows per host per input partition ever reach the sort
-        exchange. The unscheduled remainder is recovered by a hash
-        anti-join on ``key_col`` (rows must be unique on it — true for a
-        deduped frontier) with fetch_rank 0: a hash exchange instead of a
-        full sort of the whole frontier.
-      'full_rank' — rank every row (full per-host sort). Needed only when
-        unscheduled rows must carry their exact rank.
+      'single_pass' (default, the 10^10-scale path) — rank once per host and
+        FLAG scheduled/deferred: one scan of the frontier, one exchange.
+        With ``salt_partitions > 1`` the rank runs per (host, salt) first —
+        balanced partitions kill hot-host reducer skew — and only the
+        ≤ S·budget survivors per host re-rank; salted-out rows are flagged
+        unscheduled directly (provably outside the top-budget), never
+        reconstructed via a join.
+      'group_limit' — round-1 design, kept for comparison/benchmarks: the
+        scheduled set via ``row_number() <= budget`` filters (Catalyst
+        rewrites them to WindowGroupLimit with map-side partial limiting),
+        the unscheduled complement via an anti-join on ``key_col`` (rows
+        must be unique on it). Two scans + two exchanges: loses to
+        single_pass whenever the deferred side is large — which at crawl
+        scale is always.
+      'full_rank' — exact rank for EVERY row (unscheduled included). Ignores
+        ``salt_partitions``: a salted pre-rank cannot produce exact global
+        ranks beyond the budget without re-ranking everything, and silently
+        wrong ranks in (budget, S·B] are worse than a full sort.
 
-    ``salt_partitions > 1`` adds the salted pre-phase (see module
-    docstring); the scheduled set is provably identical in all modes —
+    The scheduled set and its ranks are provably identical in all modes —
     asserted by tests.
     """
     order = [F.col(c) for c in order_cols]
     w = Window.partitionBy(host_col).orderBy(*order)
     rank = F.row_number().over(w)
 
+    def _flag(df: DataFrame, r: Column) -> DataFrame:
+        """Rank column -> the four scheduling columns, flag-style (rank 0 /
+        slot -1 / wave -1 on unscheduled rows)."""
+        sched = r <= budget
+        return (
+            df.withColumn("fetch_rank", F.when(sched, r).otherwise(F.lit(0)))
+            .withColumn("scheduled", sched)
+            .withColumn(
+                "slot",
+                F.when(sched, ((r - 1) % concurrency)).otherwise(F.lit(-1)).cast("int"),
+            )
+            .withColumn(
+                "wave",
+                F.when(sched, F.floor((r - 1) / concurrency))
+                .otherwise(F.lit(-1))
+                .cast("int"),
+            )
+        )
+
+    def _mark_unscheduled(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("fetch_rank", F.lit(0))
+            .withColumn("scheduled", F.lit(False))
+            .withColumn("slot", F.lit(-1).cast("int"))
+            .withColumn("wave", F.lit(-1).cast("int"))
+        )
+
     def _finalize(df: DataFrame) -> DataFrame:
+        """full_rank style: exact rank everywhere."""
         return (
             df.withColumn("fetch_rank", rank)
             .withColumn("scheduled", F.col("fetch_rank") <= budget)
@@ -90,46 +133,73 @@ def rank_fetch_slots(
             )
         )
 
-    def _salt_phase(df: DataFrame) -> DataFrame:
-        # any row in a host's true top-budget is in its salt's top-budget,
-        # so phase-1 survivors are a superset of the final schedule
-        salted = df.withColumn(
+    if mode == "single_pass":
+        if salt_partitions <= 1:
+            return _flag(frontier, rank)
+        # Salted, as ONE linear plan (no branch -> the phase-1 window is
+        # never recomputed; no union; no join):
+        #   phase 1: rank per (host, salt) — S balanced partitions per host
+        #     kill reducer skew; any row in the host's true top-budget is in
+        #     its salt's top-budget, so rows with _r1 > budget are provably
+        #     unscheduled.
+        #   phase 2: a second window whose partition key REGROUPS only the
+        #     ≤ S·budget survivors under the true host (losers keep their
+        #     balanced (host, salt) buckets via a synthetic key, their rank
+        #     is discarded) — survivors' _r2 is exactly the re-rank among
+        #     survivors, which equals the unsalted per-host rank.
+        salted = frontier.withColumn(
             "_salt", F.pmod(F.col(key_col), F.lit(salt_partitions)).cast("int")
         )
         w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
-        return (
-            salted.withColumn("_r1", F.row_number().over(w1))
-            .filter(F.col("_r1") <= budget)  # -> WindowGroupLimit (partial)
-            .drop("_r1", "_salt")
+        pre = salted.withColumn("_r1", F.row_number().over(w1))
+        regroup = F.when(F.col("_r1") <= budget, F.col(host_col)).otherwise(
+            F.concat(F.col(host_col), F.lit("\x00"), F.col("_salt").cast("string"))
         )
+        w2 = Window.partitionBy("_h2").orderBy(*order)
+        pre = pre.withColumn("_h2", regroup).withColumn(
+            "_r2", F.row_number().over(w2)
+        )
+        sched = (F.col("_r1") <= budget) & (F.col("_r2") <= budget)
+        r2 = F.col("_r2")
+        out = (
+            pre.withColumn("fetch_rank", F.when(sched, r2).otherwise(F.lit(0)))
+            .withColumn("scheduled", sched)
+            .withColumn(
+                "slot",
+                F.when(sched, (r2 - 1) % concurrency).otherwise(F.lit(-1)).cast("int"),
+            )
+            .withColumn(
+                "wave",
+                F.when(sched, F.floor((r2 - 1) / concurrency))
+                .otherwise(F.lit(-1))
+                .cast("int"),
+            )
+        )
+        return out.drop("_salt", "_r1", "_h2", "_r2")
 
     if mode == "group_limit":
-        pre = _salt_phase(frontier) if salt_partitions > 1 else frontier
+        pre = frontier
+        if salt_partitions > 1:
+            salted = pre.withColumn(
+                "_salt", F.pmod(F.col(key_col), F.lit(salt_partitions)).cast("int")
+            )
+            w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
+            pre = (
+                salted.withColumn("_r1", F.row_number().over(w1))
+                .filter(F.col("_r1") <= budget)  # -> WindowGroupLimit (partial)
+                .drop("_r1", "_salt")
+            )
         scheduled = _finalize(pre).filter(
             F.col("fetch_rank") <= budget  # -> WindowGroupLimit (partial)
         )
-        unscheduled = (
+        unscheduled = _mark_unscheduled(
             frontier.join(scheduled.select(key_col), key_col, "left_anti")
-            .withColumn("fetch_rank", F.lit(0))
-            .withColumn("scheduled", F.lit(False))
-            .withColumn("slot", F.lit(-1).cast("int"))
-            .withColumn("wave", F.lit(-1).cast("int"))
         )
         return scheduled.unionByName(unscheduled)
 
     if mode != "full_rank":
         raise ValueError(f"unknown mode: {mode!r}")
-    if salt_partitions <= 1:
-        return _finalize(frontier)
-    survivors = _finalize(_salt_phase(frontier))
-    losers = (
-        frontier.join(survivors.select(key_col), key_col, "left_anti")
-        .withColumn("fetch_rank", F.lit(0))
-        .withColumn("scheduled", F.lit(False))
-        .withColumn("slot", F.lit(-1).cast("int"))
-        .withColumn("wave", F.lit(-1).cast("int"))
-    )
-    return survivors.unionByName(losers)
+    return _finalize(frontier)
 
 
 def crawl_order_key(round_col: Column | str = "round") -> list[Column]:

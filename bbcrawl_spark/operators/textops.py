@@ -31,8 +31,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from .. import urlkit
-
 # ---------------------------------------------------------------------------
 # shared text normalization (both engines: lower + collapse whitespace)
 # ---------------------------------------------------------------------------
@@ -244,6 +242,66 @@ def ngram_jaccard_dedup(
 
 
 # ---------------------------------------------------------------------------
+# batched numpy string hashing (the MinHash/SimHash signature kernel)
+# ---------------------------------------------------------------------------
+
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_P5 = np.uint64(0x27D4EB2F165667C5)
+_HASH_W = 64  # packed width in bytes; longer strings fold by chunk-XOR
+
+
+def _hash_strings_np(strs: list[str], seed: int = 42) -> np.ndarray:
+    """Vectorized 64-bit hash of a BATCH of strings -> uint64 array.
+
+    The round-1 version called a ~50-line pure-Python xxhash64 once per
+    shingle/token inside the UDF loop — Arrow-batched transport but scalar
+    compute, the forbidden row-at-a-time pattern one level down. Here each
+    string packs into a fixed 64-byte row (longer input folds in by 64-byte
+    chunk XOR, true length mixed in), and the whole batch is hashed with 8
+    numpy lane rounds (XXH64's 8-byte-tail round + avalanche, applied
+    batch-wide). Only UTF-8 encode/pad stays per-string Python.
+
+    Deterministic + seeded, but intentionally NOT bit-compatible with
+    xxhash64: it is internal to MinHash/SimHash signatures, which only need
+    a reproducible well-mixed family (the seen-set/url hashes still use the
+    exact Spark-parity ``urlkit.xxhash64``).
+    """
+    n = len(strs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    W = _HASH_W
+    lens = np.empty(n, dtype=np.uint64)
+    padded: list[bytes] = []
+    for i, s in enumerate(strs):
+        b = s.encode("utf-8")
+        lens[i] = len(b)
+        if len(b) > W:
+            m = (len(b) + W - 1) // W * W
+            arr = np.frombuffer(b + b"\0" * (m - len(b)), dtype=np.uint8)
+            b = np.bitwise_xor.reduce(arr.reshape(-1, W), axis=0).tobytes()
+        padded.append(b + b"\0" * (W - len(b)))
+    lanes = np.frombuffer(b"".join(padded), dtype="<u8").reshape(n, W // 8)
+
+    def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    h = np.full(n, np.uint64((seed + int(_P5)) & 0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    for j in range(W // 8):
+        k = _rotl(lanes[:, j] * _P2, 31) * _P1
+        h = _rotl(h ^ k, 27) * _P1 + _P4
+    h = h + lens
+    h ^= h >> np.uint64(33)
+    h *= _P2
+    h ^= h >> np.uint64(29)
+    h *= _P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH (signatures in numpy over Arrow batches)
 # ---------------------------------------------------------------------------
 
@@ -260,30 +318,40 @@ def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.nda
 def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3):
     """pandas UDF: text -> minhash signature (array<long>).
 
-    Shingle hashing uses the engine's xxhash64 (seed 42) so signatures are
-    reproducible everywhere; the permutations are (a*x+b) mod M61.
+    Whole-batch vectorized: every document's distinct shingles concatenate
+    into ONE ``_hash_strings_np`` call, the K permutations apply as one
+    (K × G) matrix op, and per-document minima come from
+    ``np.minimum.reduceat`` — no Python loop over shingles anywhere.
+    Permutations are (a*x+b) mod M61 on seeded params (reproducible).
     """
     a, b = _minhash_params(num_hashes)
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_udf(text: pd.Series) -> pd.Series:
-        out = []
+        all_grams: list[str] = []
+        counts: list[int] = []
         for t in text:
             norm = normalized_py(t or "")
             toks = norm.split(" ") if norm else []
             if len(toks) >= shingle_n:
-                grams = {
-                    " ".join(toks[i : i + shingle_n])
-                    for i in range(len(toks) - shingle_n + 1)
-                }
+                grams = list(
+                    {
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    }
+                )
             else:
-                grams = {norm}
-            hashes = np.array(
-                [urlkit.xxhash64(g) for g in grams], dtype=np.int64
-            ).astype(np.uint64)
-            sig = ((np.outer(a, hashes) + b[:, None]) % _MERSENNE).min(axis=1)
-            out.append(sig.astype(np.int64).tolist())
-        return pd.Series(out)
+                grams = [norm]
+            all_grams.extend(grams)
+            counts.append(len(grams))  # always >= 1
+        if not counts:
+            return pd.Series([], dtype="object")
+        hashes = _hash_strings_np(all_grams)  # (G,) uint64, one batch call
+        vals = (a[:, None] * hashes[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        sigs = np.minimum.reduceat(vals, offsets, axis=1)  # (K, D)
+        sig64 = sigs.astype(np.int64)
+        return pd.Series([sig64[:, d].tolist() for d in range(len(counts))])
 
     return minhash_udf
 
@@ -360,24 +428,40 @@ def minhash_dedup(
 
 @F.pandas_udf(LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (xxhash64 token hashes,
-    numpy bit-vote), returned as signed int64."""
-    out = np.zeros(len(text), dtype=np.int64)
+    """64-bit SimHash over whitespace tokens, returned as signed int64.
+
+    Whole-batch vectorized: all documents' tokens hash in ONE
+    ``_hash_strings_np`` call, per-document bit votes come from
+    ``np.add.reduceat`` over the unpacked bit matrix, and the final words
+    assemble with a vectorized shift-sum — no Python loop over tokens.
+    """
+    n = len(text)
+    if n == 0:
+        return pd.Series([], dtype="int64")
+    all_toks: list[str] = []
+    counts = np.zeros(n, dtype=np.int64)
     for i, t in enumerate(text):
         norm = normalized_py(t or "")
         toks = norm.split(" ") if norm else []
-        if not toks:
-            continue
-        hs = np.array([urlkit.xxhash64(tok) for tok in toks], dtype=np.int64).astype(
-            np.uint64
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(hs)
-        val = np.uint64(0)
-        for bit in np.nonzero(votes > 0)[0]:
-            val |= np.uint64(1) << np.uint64(bit)
-        out[i] = np.int64(val)
-    return pd.Series(out)
+        all_toks.extend(toks)
+        counts[i] = len(toks)
+    if not all_toks:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    hs = _hash_strings_np(all_toks)  # (T,) uint64
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int32
+    )  # (T, 64)
+    # reduceat quirk: empty segments return the NEXT doc's first row and a
+    # trailing empty segment would index past the end — clamp, then zero out
+    # empty docs explicitly.
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    sums = np.add.reduceat(bits, np.minimum(offsets, len(all_toks) - 1), axis=0)
+    votes = 2 * sums - counts[:, None]  # (D, 64)
+    words = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1
+    )
+    words[counts == 0] = np.uint64(0)
+    return pd.Series(words.astype(np.int64))
 
 
 def simhash_pairs(

@@ -20,7 +20,7 @@ Round contract (shared, normative — plans/round.py implements the same):
    links (doc order), resolve (F3), canonicalize+hash (F13), score (W3);
    page_num of a discovered link = trailing '/pageN' number else 0
 6. new frontier = deferred ∪ extracted links not in seen, deduped by
-   url_hash keeping min (priority, page_num, discovered_in, seed_id)
+   url_hash keeping min (priority, page_num, discovered_in, seed_id, url)
 7. global crawl order within round r = scheduled sorted by
    (priority, page_num, url_hash) (W2); rounds concatenate
 """
@@ -56,7 +56,8 @@ class FrontierEntry:
         return (self.priority, self.page_num, self.url_hash)
 
     def dedup_key(self):
-        return (self.priority, self.page_num, self.discovered_in, self.seed_id)
+        # url completes the total order (twin of the round-loop dedup window)
+        return (self.priority, self.page_num, self.discovered_in, self.seed_id, self.url)
 
 
 @dataclass
@@ -68,14 +69,19 @@ class OracleResult:
     metrics: list[dict] = field(default_factory=list)
 
 
-def entry_for(url: str, seed_id: int, priority: int, discovered_in: int) -> FrontierEntry:
+def entry_for(
+    url: str, seed_id: int, priority: int, discovered_in: int,
+    page_num: int | None = None,
+) -> FrontierEntry:
+    """page_num: pager-emitted PageNum for seeds (None/-1 -> derive from
+    the '/pageN' suffix like a discovered link)."""
     canon = urlkit.canonicalize(url)
     return FrontierEntry(
         url=url,
         url_hash=urlkit.xxhash64(canon),
         host=urlkit.parse_url(url).hostname().lower(),
         priority=priority,
-        page_num=link_page_num(url),
+        page_num=link_page_num(url) if page_num is None or page_num < 0 else page_num,
         seed_id=seed_id,
         discovered_in=discovered_in,
     )
@@ -83,7 +89,7 @@ def entry_for(url: str, seed_id: int, priority: int, discovered_in: int) -> Fron
 
 def crawl_oracle(
     pages: dict[str, bytes],
-    seeds: list[tuple[str, int, int]],  # (url, seed_id, priority)
+    seeds: list[tuple],  # (url, seed_id, priority[, page_num])
     budget: int,
     robots: dict[str, list[str]] | None = None,
     excludes: set[str] | None = None,
@@ -93,7 +99,9 @@ def crawl_oracle(
     robots = robots or {}
     excludes = excludes or set()
     res = OracleResult()
-    frontier = [entry_for(u, sid, prio, -1) for u, sid, prio in seeds]
+    frontier = [
+        entry_for(t[0], t[1], t[2], -1, t[3] if len(t) > 3 else None) for t in seeds
+    ]
 
     for r in range(max_rounds):
         if not frontier:

@@ -15,8 +15,9 @@ tests/test_crawl_e2e.py):
                               seen ∪ scheduled, metrics_r   [round commit]
 
 Shuffle profile per round (the 100-TB design):
-  1. politeness window: hash exchange on host (WindowGroupLimit partial
-     limit + optional salted two-phase kill hot-host skew)
+  1. politeness window: ONE sort exchange on host (single-pass flag-style
+     ranking — no anti-join reconstructing the deferred complement;
+     optional salted pre-rank kills hot-host reducer skew)
   2. pages join: sort-merge on url (frontier side already deduped; AQE may
      demote to broadcast when a round is small)
   3. new-link dedup: hash exchange on url_hash
@@ -40,11 +41,14 @@ from pyspark.sql import functions as F
 from ..functions.udfs import (
     extract_links_udf,
     extract_text_udf,
-    extract_vb_udf,
+    header_filename_col,
+    header_filename_field_col,
     host_of,
     make_extract_srcs_udf,
+    make_extract_vb_udf,
     url_hash_col,
 )
+from .. import extract as extract_mod
 from ..operators import dedup
 from ..operators.politeness import rank_fetch_slots
 from ..operators.priority import priority_score_col
@@ -62,7 +66,12 @@ FRONTIER_COLS = ["url", "url_hash", "host", "priority", "page_num", "seed_id", "
 class CrawlConfig:
     pages_path: str  # parquet dir of the pages table (Iceberg table on a cluster)
     warehouse_root: str
-    seeds: list[tuple[str, int, int]] = field(default_factory=list)  # (url, seed_id, priority)
+    # (url, seed_id, priority) or (url, seed_id, priority, page_num).
+    # Pager-generated seeds MUST carry the pager's PageNum() (pagers.go:
+    # 49-51,133-135) — re-deriving it from a '/pageN' suffix is wrong for the
+    # query and cutter pagers (page_num would be 0 for every seed, breaking
+    # crawler output names and per-host seed order).
+    seeds: list[tuple] = field(default_factory=list)
     budget: int = 5  # per-host fetches per round (reference DEFAULT_DL_JOBS)
     max_rounds: int = 100
     follow_links: bool = True
@@ -93,16 +102,75 @@ def page_num_col(url) -> F.Column:
 
 
 def frontier_from_urls(df: DataFrame, discovered_in: int) -> DataFrame:
-    """Project (url, seed_id, priority) rows into the frontier schema using
-    JVM column expressions only."""
+    """Project (url, seed_id, priority[, page_num]) rows into the frontier
+    schema using JVM column expressions only.
+
+    If the input carries a non-negative ``page_num`` (a pager emission) it is
+    kept verbatim; otherwise (discovered links, plain ``--seed`` URLs) the
+    trailing-'/pageN' heuristic derives it.
+    """
+    if "page_num" in df.columns:
+        pn = (
+            F.when(F.col("page_num") >= 0, F.col("page_num"))
+            .otherwise(page_num_col("url"))
+            .cast("int")
+        )
+    else:
+        pn = page_num_col("url")
     return df.select(
         F.col("url"),
         url_hash_col("url").alias("url_hash"),
         host_of("url").alias("host"),
         F.col("priority").cast("int").alias("priority"),
-        page_num_col("url").alias("page_num"),
+        pn.alias("page_num"),
         F.col("seed_id").cast("long").alias("seed_id"),
         F.lit(discovered_in).cast("int").alias("discovered_in"),
+    )
+
+
+def complete_headernames(downloads: DataFrame, pages: DataFrame) -> DataFrame:
+    """K2: complete ``{postid}-{attid}`` prefixes from each attachment URL's
+    Content-Disposition header — the batch re-expression of
+    ``ADNameFromHeader`` (afterdownload.go:27-46; header read from the
+    download response, downloader.go:121-143).
+
+    Plain equi-join on the attachment URL: the per-round downloads side is
+    small, so AQE broadcasts it against the big pages table. Reference error
+    parity: no header/field -> "No Content-disposition header field found";
+    matched-but-bad field -> "malformed filename ..." (both surface as err
+    rows like the reference's RenameError, with out_name='').
+    """
+    if "content_disposition" in pages.columns:
+        hdrs = pages.select(
+            F.col("url").alias("abs_url"), F.col("content_disposition").alias("_cd")
+        )
+    else:  # pages table carries no headers: every completion fails loudly
+        hdrs = pages.select(
+            F.col("url").alias("abs_url"), F.lit(None).cast("string").alias("_cd")
+        )
+    cols = downloads.columns
+    joined = downloads.join(hdrs, "abs_url", "left")
+    field = header_filename_field_col("_cd")
+    name = header_filename_col("_cd")
+    had_err = F.col("err") != ""
+    err = (
+        F.when(had_err, F.col("err"))
+        .when(field.isNull(), F.lit(extract_mod.NO_HEADER_FIELD_ERR))
+        .when(
+            name == "",
+            F.concat(
+                F.lit("malformed filename in Content-disposition header: "), field
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    out_name = F.when(had_err | field.isNull() | (name == ""), F.lit("")).otherwise(
+        F.concat(F.col("out_name"), F.lit("-"), name)
+    )
+    return (
+        joined.withColumn("out_name", out_name)
+        .withColumn("err", err)
+        .select(*cols)
     )
 
 
@@ -136,7 +204,8 @@ class CrawlDriver:
         if self.wh.last_committed_round() is not None:
             return
         seeds_df = self.spark.createDataFrame(
-            [(u, s, p) for u, s, p in self.cfg.seeds], "url string, seed_id long, priority int"
+            [(t[0], t[1], t[2], t[3] if len(t) > 3 else -1) for t in self.cfg.seeds],
+            "url string, seed_id long, priority int, page_num int",
         )
         f_sid = self.wh.write("frontier", frontier_from_urls(seeds_df, -1))
         s_sid = self.wh.write(
@@ -176,8 +245,9 @@ class CrawlDriver:
             bloom_spec = dedup.BloomSpec(
                 self.wh.round_snapshot(r - 1, "bloom_dir"), cfg.bloom_partitions
             )
-        # persist: group_limit politeness reads the gated frontier from
-        # three branches (rank phase, scheduled select, deferred anti-join)
+        # persist: the Bloom-gated frontier is consumed by the politeness
+        # window (twice under salted single_pass — survivor/loser branches);
+        # without it the Bloom UDF + anti-join would re-run per branch
         cand = dedup.dedup_against_seen(cand, seen, bloom_spec).persist()
 
         # --- politeness window (W1) ---------------------------------------
@@ -226,15 +296,13 @@ class CrawlDriver:
         # --- crawler-family downloads (the reference's primary output) ----
         downloads = None
         if cfg.crawler == "vb-attachments":
-            ex = extract_vb_udf("html", "url")
-            if cfg.headernames:
-                # name completed from Content-Disposition post-download
-                # (afterdownload.go:27-46); prefix carried in out_name
-                pass
+            ex = make_extract_vb_udf(cfg.headernames)("html", "url")
             downloads = fetched.select(
                 F.lit(r).alias("round"), F.col("url").alias("page_url"),
                 "page_num", F.explode(ex).alias("f"),
             ).select("round", "page_url", "page_num", "f.*")
+            if cfg.headernames:
+                downloads = complete_headernames(downloads, pages)
         elif cfg.crawler == "src":
             src_udf = make_extract_srcs_udf(cfg.tags, list(cfg.attrs) or None)
             downloads = fetched.select(
@@ -269,8 +337,12 @@ class CrawlDriver:
 
         # --- merge deferred ∪ new, dedup by url_hash (oracle step 6) ------
         merged = deferred.unionByName(new_entries)
+        # 'url' completes the tiebreak: two raw urls can share a url_hash
+        # (':80' / '#frag' variants canonicalize identically) and tie on the
+        # other keys; without a total order the surviving raw url — which
+        # drives the pages join and crawl_order output — is nondeterministic
         dw = Window.partitionBy("url_hash").orderBy(
-            "priority", "page_num", "discovered_in", "seed_id"
+            "priority", "page_num", "discovered_in", "seed_id", "url"
         )
         frontier_next = (
             merged.withColumn("_rn", F.row_number().over(dw))
@@ -328,14 +400,20 @@ class CrawlDriver:
         if cfg.follow_links:
             new_entries.unpersist()
 
-        # --- rebuild the persistent Bloom over the grown seen set ---------
+        # --- incremental Bloom maintenance over the round's NEW hashes ----
+        # OR-in only this round's delta; untouched partitions carry forward
+        # as manifest pointers (per-round cost ∝ |seen_new|, not |seen| —
+        # the O(R·N) full-rebuild pattern was the one true 100x-scale
+        # killer). Overflowing partitions alone rebuild from the full table.
         if cfg.bloom_partitions > 0:
             bloom_dir = f"{cfg.warehouse_root}/bloom/r{r:05d}"
-            dedup.build_partitioned_bloom(
-                self.wh.read("seen", sids["seen"]),
+            dedup.update_partitioned_bloom(
+                self.wh.read_delta("seen", sids["seen"]),
+                self.wh.round_snapshot(r - 1, "bloom_dir"),
                 bloom_dir,
                 cfg.bloom_partitions,
                 cfg.bloom_bits_per_key,
+                seen_full=self.wh.read("seen", sids["seen"]),
             )
             sids["bloom_dir"] = bloom_dir
 

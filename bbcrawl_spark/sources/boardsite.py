@@ -35,7 +35,12 @@ __all__ = ["BoardSite", "make_board_site"]
 
 _BASE_TS = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
 
-PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "content_type string, n_redirects int, content_disposition string"
+)
+
+_CT_UTF8 = "text/html; charset=utf-8"
 
 
 @dataclass
@@ -45,6 +50,24 @@ class BoardSite:
     robots: dict[str, str] = field(default_factory=dict)  # host -> robots.txt
     seeds: list[tuple[str, int, int]] = field(default_factory=list)  # url, seed_id, priority
     excludes: list[str] = field(default_factory=list)
+    content_types: dict[str, str] = field(default_factory=dict)  # url -> Content-Type
+    redirects: dict[str, int] = field(default_factory=dict)  # url -> redirect count
+    headers: dict[str, str | None] = field(default_factory=dict)  # url -> Content-Disposition
+
+    def add_page(
+        self, url: str, body: bytes, text: str, ts, lang: str = "en",
+        content_type: str = _CT_UTF8, n_redirects: int = 0,
+        content_disposition: str | None = None,
+    ) -> None:
+        self.pages[url] = body
+        self.content_types[url] = content_type
+        if n_redirects:
+            self.redirects[url] = n_redirects
+        if content_disposition is not None:
+            self.headers[url] = content_disposition
+        self.rows.append(
+            (url, ts, body, text, lang, content_type, n_redirects, content_disposition)
+        )
 
     def to_df(self, spark):
         return spark.createDataFrame(self.rows, PAGES_SCHEMA)
@@ -61,7 +84,12 @@ def make_board_site(
     threads: int = 3,
     pages_per_thread: int = 3,
     seed: int = 42,
+    attachment_pages: bool = False,
 ) -> BoardSite:
+    """``attachment_pages=True`` additionally adds the vb attachment URLs to
+    the pages table as fetchable binary resources carrying Content-Disposition
+    headers — the input the ``-names-from-header`` path needs (the reference
+    reads the header from the attachment GET, downloader.go:121-143)."""
     rng = random.Random(seed)
     site = BoardSite()
     hostnames = [f"forum{i}.example" for i in range(hosts)]
@@ -77,24 +105,37 @@ def make_board_site(
                         rng, hostnames, host, b, t, p, threads, pages_per_thread
                     )
                     body = html.encode("utf-8")
-                    site.pages[url] = body
-                    site.rows.append(
-                        (
-                            url,
-                            _BASE_TS + datetime.timedelta(seconds=i),
-                            body,
-                            extract.extract_text(html),
-                            "en",
-                        )
+                    site.add_page(
+                        url, body, extract.extract_text(html),
+                        _BASE_TS + datetime.timedelta(seconds=i),
                     )
                     i += 1
+                    if attachment_pages:
+                        for pi in range(2):
+                            if (p + pi) % 2 != 0:
+                                continue  # matches _thread_page_html's atts
+                            att_url = f"http://{host}/att/{b}/{t}/{p}/{pi}/file{pi}.pdf"
+                            # vary the header: normal / missing / malformed
+                            k = (b + t + p + pi) % 3
+                            if k == 0:
+                                cd = f'attachment; filename="real_{b}{t}{p}{pi}.pdf"'
+                            elif k == 1:
+                                cd = None  # no header -> reference errors
+                            else:
+                                cd = 'attachment; filename="a=b.pdf"'  # malformed
+                            site.add_page(
+                                att_url, b"%PDF-fake " + att_url.encode(), "",
+                                _BASE_TS + datetime.timedelta(seconds=i),
+                                lang="", content_type="application/pdf",
+                                content_disposition=cd,
+                            )
+                            i += 1
         # a secret page robots must keep out of the crawl
         secret = f"http://{host}/b0/secret/{hi}"
         shtml = "<html><body><div id='posts'>secret</div></body></html>"
-        site.pages[secret] = shtml.encode()
-        site.rows.append(
-            (secret, _BASE_TS + datetime.timedelta(seconds=i), shtml.encode(),
-             extract.extract_text(shtml), "en")
+        site.add_page(
+            secret, shtml.encode(), extract.extract_text(shtml),
+            _BASE_TS + datetime.timedelta(seconds=i),
         )
         i += 1
 

@@ -131,6 +131,14 @@ class Warehouse:
         dirs = man["snapshots"][sid]["dirs"]
         return self.spark.read.parquet(*dirs)
 
+    def read_delta(self, table: str, snapshot_id: str) -> DataFrame:
+        """Only the rows ADDED by ``snapshot_id`` (its own data dir, not the
+        parent chain) — incremental consumers (Bloom maintenance) read the
+        per-round delta instead of rescanning the whole table. Iceberg
+        equivalent: an incremental read between parent and child snapshots."""
+        man = self._manifest(table)
+        return self.spark.read.parquet(man["snapshots"][snapshot_id]["dirs"][-1])
+
     # -- round log (atomic multi-table commit point) ----------------------
     def _rounds_path(self) -> str:
         return os.path.join(self.root, "_rounds.json")

@@ -64,8 +64,17 @@ class GoURL:
         return self.scheme != ""
 
     def hostname(self) -> str:
-        """Go ``URL.Hostname()``: host without port; strips [] from IPv6."""
+        """Go ``URL.Hostname()``: host without port; strips [] from IPv6.
+
+        Go's ``url.Parse`` stores userinfo separately from Host; our
+        ``parse_url`` keeps ``user:pass@host`` in ``.host``, so userinfo is
+        stripped here before the port logic (otherwise the ``rfind(':')``
+        lands inside the userinfo and returns the user as the host).
+        """
         h = self.host
+        at = h.rfind("@")
+        if at >= 0:
+            h = h[at + 1 :]
         if h.startswith("["):
             end = h.find("]")
             return h[1:end] if end >= 0 else h[1:]

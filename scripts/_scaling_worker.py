@@ -94,11 +94,16 @@ def main() -> None:
     urls.count()
     seen = urls.filter("url_hash % 3 = 0").select("url_hash").cache()
     seen.count()
+    # materialize BOTH sides (scheduled + deferred) like the real round does
+    # — a filter("scheduled") would let Catalyst prune the deferred branch
+    # and flatter the number
     timed(
         "crawl_pipeline",
         lambda: politeness.rank_fetch_slots(
             dedup.dedup_against_seen(urls, seen), budget=50, salt_partitions=8
-        ).filter("scheduled").count(),
+        ).agg(
+            F.sum("fetch_rank"), F.sum(F.col("scheduled").cast("long")), F.count("*")
+        ).first(),
         N_PIPELINE, "urls",
     )
 

@@ -172,3 +172,18 @@ class TestParseCommand:
     def test_unknown_pager(self):
         with pytest.raises(ValueError, match="Pager not found"):
             cmdline.parse_command("bbcrawl -pager nope -crawler file http://h/t".split())
+
+    def test_cookie_file_warns_ignored(self):
+        """J4: -cookie-file is parsed but has nothing to act on in batch
+        mode (pre-fetched pages) — it must WARN, never silently no-op."""
+        with pytest.warns(UserWarning, match="cookie-file is not applicable"):
+            cmdline.parse_command(
+                "bbcrawl -cookie-file /tmp/jar.txt -pager vb4 -start 1 -end 2 "
+                "-crawler file http://h.ex/t".split()
+            )
+
+    def test_no_cookie_file_no_warning(self, recwarn):
+        cmdline.parse_command(
+            "bbcrawl -pager vb4 -start 1 -end 2 -crawler file http://h.ex/t".split()
+        )
+        assert not [w for w in recwarn.list if "cookie-file" in str(w.message)]

@@ -137,6 +137,55 @@ class TestCrawlerFamilies:
         assert got == expected
         assert len(expected) > 0
 
+    def test_vb_headernames_downloads(self, spark, tmp_path):
+        """-names-from-header end-to-end: '{postid}-{attid}' prefixes are
+        completed from each attachment URL's Content-Disposition header
+        (afterdownload.go:27-46), with the reference's two error classes for
+        missing vs malformed headers — matched against the pure-Python twin."""
+        from bbcrawl_spark import extract
+        from bbcrawl_spark.htmlkit import decode_html
+        from bbcrawl_spark.operators.robots import parse_robots_txt
+
+        hsite = make_board_site(
+            hosts=1, boards=2, threads=2, pages_per_thread=2, attachment_pages=True
+        )
+        pages_path = str(tmp_path / "hpages.parquet")
+        hsite.to_df(spark).write.mode("overwrite").parquet(pages_path)
+        robots = {h: parse_robots_txt(t) for h, t in hsite.robots.items()}
+        want = oracle.crawl_oracle(
+            pages=hsite.pages, seeds=hsite.seeds, budget=2, robots=robots,
+            excludes=set(hsite.excludes), max_rounds=20,
+        )
+        drv = _driver(
+            spark, hsite, pages_path, tmp_path / "whh",
+            crawler="vb-attachments", headernames=True,
+        )
+        drv.run()
+        got = {
+            (r["page_url"], r["post_id"], r["att_id"]): (r["out_name"], r["err"])
+            for r in drv.downloads().collect()
+        }
+        expected = {}
+        for url in want.texts:
+            if "/att/" in url:
+                continue  # attachment blobs carry no posts div
+            html = decode_html(hsite.pages[url], "text/html; charset=utf-8")
+            for f in extract.extract_vb_attachments(html, url, headernames=True):
+                if f.err:
+                    expected[(url, f.post_id, f.att_id)] = ("", f.err)
+                else:
+                    name, err = extract.complete_headername(
+                        f.out_name, hsite.headers.get(f.abs_url)
+                    )
+                    expected[(url, f.post_id, f.att_id)] = (name, err)
+        assert got == expected
+        # the fixture must exercise all three branches
+        names = [v[0] for v in expected.values()]
+        errs = [v[1] for v in expected.values()]
+        assert any(n for n in names), "no completed header name in fixture"
+        assert any(e == extract.NO_HEADER_FIELD_ERR for e in errs)
+        assert any(e.startswith("malformed filename") for e in errs)
+
     def test_file_crawler_downloads(self, spark, site, pages_path, tmp_path):
         drv = _driver(
             spark, site, pages_path, tmp_path / "whf",
@@ -148,6 +197,37 @@ class TestCrawlerFamilies:
         assert {r["page_url"] for r in rows} == {u for u, _, _ in site.seeds}
         for r in rows:
             assert r["out_name"].startswith(f"{r['page_num']} - ")
+
+
+class TestSeedPageNum:
+    def test_pager_page_num_carried_into_seed_frontier(self, spark, tmp_path):
+        """Query-pager seeds (?page=N) have no '/pageN' suffix; the pager's
+        PageNum() must ride into the frontier, not a re-derived 0
+        (pagers.go:49-51 — PageNum is the crawler's naming/order input)."""
+        from bbcrawl_spark.plans.round import CrawlConfig, CrawlDriver
+
+        seeds = [(f"http://h.ex/f?page={p}", p - 1, 0, p) for p in (1, 2, 3)]
+        cfg = CrawlConfig(
+            pages_path=str(tmp_path / "nopages"), warehouse_root=str(tmp_path / "wh"),
+            seeds=seeds,
+        )
+        drv = CrawlDriver(spark, cfg)
+        drv.bootstrap()
+        rows = {r["url"]: r["page_num"] for r in drv._pinned(-1, "frontier").collect()}
+        assert rows == {f"http://h.ex/f?page={p}": p for p in (1, 2, 3)}
+
+    def test_three_tuple_seeds_still_derive(self, spark, tmp_path):
+        from bbcrawl_spark.plans.round import CrawlConfig, CrawlDriver
+
+        cfg = CrawlConfig(
+            pages_path=str(tmp_path / "nopages"), warehouse_root=str(tmp_path / "wh2"),
+            seeds=[("http://h.ex/t/page7", 0, 0), ("http://h.ex/f?page=3", 1, 0)],
+        )
+        drv = CrawlDriver(spark, cfg)
+        drv.bootstrap()
+        rows = {r["url"]: r["page_num"] for r in drv._pinned(-1, "frontier").collect()}
+        assert rows["http://h.ex/t/page7"] == 7
+        assert rows["http://h.ex/f?page=3"] == 0  # heuristic: suffix only
 
 
 class TestResume:

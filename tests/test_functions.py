@@ -47,6 +47,59 @@ class TestCanonicalizeParity:
             assert r["c1"] == r["c2"]
 
 
+HEADER_CASES = [
+    'attachment; filename="report.pdf"',
+    'filename="bare.txt"',
+    'attachment; filename="has space.bin"; size=42',
+    'attachment;filename="tight.png"',
+    "inline",  # no filename field
+    None,  # no header at all
+    "",  # empty header
+    'attachment; filename="a=b.pdf"',  # '=' in name -> malformed (Go split)
+    'attachment; filename="path/sep.pdf"',  # '/' rejected
+    'attachment; filename=""',  # empty name -> malformed
+    'attachment; filename=noquote.pdf',  # field must start filename=" -> none
+    'x; filename=""quoted""',  # Trim strips ALL leading/trailing quotes
+]
+
+
+class TestHeaderFilenameParity:
+    """F9/K2: column expression == pure-Python NameFromHeader twin on every
+    branch (match, missing, malformed, path separator, quote trimming)."""
+
+    def test_col_matches_python(self, spark):
+        from bbcrawl_spark import extract
+
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(HEADER_CASES)], "i int, hdr string"
+        )
+        got = {
+            r["i"]: (r["name"], r["field"])
+            for r in df.select(
+                "i",
+                udfs.header_filename_col("hdr").alias("name"),
+                udfs.header_filename_field_col("hdr").alias("field"),
+            ).collect()
+        }
+        for i, h in enumerate(HEADER_CASES):
+            name, err = extract.header_filename(h)
+            assert got[i][0] == name, (h, got[i], name, err)
+            # field NULL exactly when the reference reports 'No ... found'
+            assert (got[i][1] is None) == (err == extract.NO_HEADER_FIELD_ERR), h
+
+    def test_golden_values(self):
+        from bbcrawl_spark import extract
+
+        assert extract.header_filename(HEADER_CASES[0]) == ("report.pdf", "")
+        assert extract.header_filename(HEADER_CASES[2]) == ("has space.bin", "")
+        assert extract.header_filename(None)[1] == extract.NO_HEADER_FIELD_ERR
+        assert "malformed" in extract.header_filename('filename="a=b"')[1]
+        assert extract.header_filename('x; filename=""quoted""') == ("quoted", "")
+        assert extract.complete_headername("123-1", HEADER_CASES[0]) == (
+            "123-1-report.pdf", "",
+        )
+
+
 class TestExtractUDFs:
     def test_vb_udf_through_spark(self, spark):
         df = spark.createDataFrame(

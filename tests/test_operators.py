@@ -61,6 +61,93 @@ class TestBloomDedup:
         assert dedup.union_seen(seen, new).count() == 3
 
 
+class TestIncrementalBloom:
+    P = 8
+
+    def _split_by_pid(self, urls):
+        by_pid = {}
+        for u in urls:
+            by_pid.setdefault(urlkit.url_hash(u) % self.P, []).append(u)
+        return by_pid
+
+    def test_update_touches_only_delta_partitions(self, spark, tmp_path):
+        """Per-round Bloom cost must be ∝ |seen_new|: partitions with no new
+        keys are carried as manifest POINTERS to the previous dir's files —
+        nothing read, nothing written for them."""
+        import os
+
+        base = [f"http://h{i % 16}.ex/t/{i}" for i in range(800)]
+        d0, d1 = str(tmp_path / "r0"), str(tmp_path / "r1")
+        dedup.build_partitioned_bloom(_url_df(spark, base), d0, self.P)
+
+        # new urls confined to exactly 2 partitions, sized within those
+        # partitions' remaining fill budget (pow2 sizing -> variable headroom;
+        # exceeding it is the separate rebuild path tested below)
+        m0 = dedup._read_manifest(d0)
+        headroom = {p: e["m_bits"] // 10 - e["n_items"] for p, e in m0.items()}
+        keep_pids = sorted(headroom, key=lambda p: -headroom[p])[:2]
+        by_pid = self._split_by_pid([f"http://h9.ex/new/{i}" for i in range(600)])
+        delta_urls = [
+            u
+            for p in keep_pids
+            for u in by_pid[p][: max(1, min(len(by_pid[p]), headroom[p] - 1))]
+        ]
+        keep_pids = sorted(keep_pids)
+        stats = dedup.update_partitioned_bloom(
+            _url_df(spark, delta_urls), d0, d1, self.P
+        )
+        assert sorted(stats["updated"] + stats["built"]) == keep_pids
+        assert not stats["rebuilt"]
+        assert sorted(stats["carried"]) == [p for p in range(self.P) if p not in keep_pids]
+
+        spec = dedup.BloomSpec(d1, self.P)
+        for pid in stats["carried"]:
+            assert spec.blob_path(pid).startswith(d0)  # pointer, not a copy
+            assert not os.path.exists(os.path.join(d1, f"bloom_{pid:05d}.npy"))
+        for pid in keep_pids:
+            assert spec.blob_path(pid).startswith(d1)
+
+        # zero false negatives over base ∪ delta through the updated spec
+        flagged = dedup.bloom_maybe_seen(_url_df(spark, base + delta_urls), spec)
+        assert flagged.filter("NOT maybe_seen").count() == 0
+
+    def test_overflow_triggers_partition_rebuild(self, spark, tmp_path):
+        """Exceeding the bits_per_key fill budget rebuilds (and doubles) only
+        the overflowing partitions from the full seen table."""
+        d0, d1 = str(tmp_path / "r0"), str(tmp_path / "r1")
+        small = [f"http://s.ex/{i}" for i in range(24)]  # tiny blobs (64-128 bits)
+        dedup.build_partitioned_bloom(_url_df(spark, small), d0, self.P)
+        m0 = {p: e["m_bits"] for p, e in dedup._read_manifest(d0).items()}
+
+        grow = [f"http://g.ex/big/{i}" for i in range(3000)]
+        full = _url_df(spark, small + grow)
+        stats = dedup.update_partitioned_bloom(
+            _url_df(spark, grow), d0, d1, self.P, seen_full=full
+        )
+        assert stats["rebuilt"], "fixture failed to overflow any partition"
+        m1 = dedup._read_manifest(d1)
+        for pid in stats["rebuilt"]:
+            assert m1[pid]["m_bits"] > m0.get(pid, 0)
+
+        spec = dedup.BloomSpec(d1, self.P)
+        flagged = dedup.bloom_maybe_seen(full, spec)
+        assert flagged.filter("NOT maybe_seen").count() == 0
+        # end-to-end dedup through the incrementally-maintained spec is EXACT
+        cands = _url_df(spark, small + [f"http://n.ex/{i}" for i in range(200)])
+        got = sorted(
+            r["url"] for r in dedup.dedup_against_seen(cands, full, spec).collect()
+        )
+        assert got == sorted(f"http://n.ex/{i}" for i in range(200))
+
+    def test_rebuild_without_seen_full_raises(self, spark, tmp_path):
+        d0, d1 = str(tmp_path / "r0"), str(tmp_path / "r1")
+        small = [f"http://s.ex/{i}" for i in range(24)]
+        dedup.build_partitioned_bloom(_url_df(spark, small), d0, self.P)
+        grow = [f"http://g.ex/big/{i}" for i in range(3000)]
+        with pytest.raises(ValueError, match="fill budget"):
+            dedup.update_partitioned_bloom(_url_df(spark, grow), d0, d1, self.P)
+
+
 class TestPoliteness:
     def _frontier(self, spark):
         rows = []
@@ -88,11 +175,18 @@ class TestPoliteness:
         assert [r["page_num"] for r in rows] == [0, 1, 2, 3, 4]
 
     def test_modes_identical(self, spark):
-        # group_limit (anti-join deferred) and full_rank produce the same
-        # scheduled set/ranks and the same unscheduled membership
+        # single_pass (default), salted single_pass, group_limit (anti-join
+        # deferred) and full_rank all produce the same scheduled set/ranks
+        # and the same unscheduled membership
         f = self._frontier(spark)
-        gl = politeness.rank_fetch_slots(f, budget=5, mode="group_limit")
-        fr = politeness.rank_fetch_slots(f, budget=5, mode="full_rank")
+        variants = {
+            "single_pass": politeness.rank_fetch_slots(f, budget=5),
+            "single_pass_salted": politeness.rank_fetch_slots(
+                f, budget=5, salt_partitions=4
+            ),
+            "group_limit": politeness.rank_fetch_slots(f, budget=5, mode="group_limit"),
+            "full_rank": politeness.rank_fetch_slots(f, budget=5, mode="full_rank"),
+        }
         sched = lambda df: sorted(
             (r["url"], r["fetch_rank"], r["slot"], r["wave"])
             for r in df.filter("scheduled").collect()
@@ -100,9 +194,11 @@ class TestPoliteness:
         unsched = lambda df: sorted(
             r["url"] for r in df.filter("NOT scheduled").collect()
         )
-        assert sched(gl) == sched(fr)
-        assert unsched(gl) == unsched(fr)
-        assert gl.count() == f.count()
+        want_s, want_u = sched(variants["full_rank"]), unsched(variants["full_rank"])
+        for name, df in variants.items():
+            assert sched(df) == want_s, name
+            assert unsched(df) == want_u, name
+            assert df.count() == f.count(), name
 
     def test_salted_identical_schedule(self, spark):
         f = self._frontier(spark)
@@ -124,10 +220,27 @@ class TestPoliteness:
 
     def test_window_group_limit_in_plan(self, spark):
         # Spark >=3.5 turns row_number<=k filters into WindowGroupLimit with
-        # a map-side Partial mode — the built-in hot-host defense.
-        ranked = politeness.rank_fetch_slots(self._frontier(spark), budget=5)
+        # a map-side Partial mode — group_limit mode's hot-host defense.
+        ranked = politeness.rank_fetch_slots(
+            self._frontier(spark), budget=5, mode="group_limit"
+        )
         plan = ranked.filter("fetch_rank <= 5")._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+    def test_single_pass_plan_has_one_exchange_no_join(self, spark):
+        """The default mode's whole point: ONE shuffle over the frontier,
+        no anti-join reconstructing the deferred complement."""
+        ranked = politeness.rank_fetch_slots(self._frontier(spark), budget=5)
+        plan = ranked._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "Join" not in plan, plan
+
+    def test_salted_single_pass_plan_has_no_join(self, spark):
+        ranked = politeness.rank_fetch_slots(
+            self._frontier(spark), budget=5, salt_partitions=8
+        )
+        plan = ranked._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
 
 
 class TestRobots:

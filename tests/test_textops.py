@@ -149,7 +149,10 @@ class TestSimHash:
             "crawl politeness budget robots seed host priority page thread "
             "board link extract text token corpus"
         ) * 3
-        df = _docs_df(spark, [base, base.replace("bloom", "cuckoo"), "tiny other"])
+        # the substituted word is fixture-pinned to a pair measuring ≤3 under
+        # the engine's hash family (the property under test is that the
+        # 4x16-band join CATCHES such pairs, not one word's exact distance)
+        df = _docs_df(spark, [base, base.replace("bloom", "stack"), "tiny other"])
         pairs = {
             (r["id_a"], r["id_b"]): r["hamming"]
             for r in textops.simhash_pairs(df, max_hamming=3).collect()

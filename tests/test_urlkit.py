@@ -88,6 +88,36 @@ class TestBaseURL:
             urlkit.url_for_pager("/relative/only")
 
 
+class TestHostname:
+    """GoURL.hostname() parity with Go url.URL.Hostname(), incl. userinfo
+    (Go stores userinfo separately; our parse keeps it in .host and
+    hostname() must strip it before the port logic)."""
+
+    CASES = [
+        ("http://h/x", "h"),
+        ("http://h:8080/x", "h"),
+        ("http://user:pass@h/x", "h"),
+        ("http://user:pass@h:8080/x", "h"),
+        ("http://user@h/x", "h"),
+        ("http://[::1]:443/x", "::1"),
+    ]
+
+    @pytest.mark.parametrize("url,want", CASES)
+    def test_hostname(self, url, want):
+        assert urlkit.parse_url(url).hostname() == want
+
+    def test_spark_host_of_agrees(self, spark):
+        """The JVM-side politeness key (F.parse_url HOST) and the oracle's
+        hostname() must agree — userinfo URLs were the divergence."""
+        from bbcrawl_spark.functions.udfs import host_of
+
+        urls = [u for u, _ in self.CASES if not u.startswith("http://[")]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {r["url"]: r["h"] for r in df.select("url", host_of("url").alias("h")).collect()}
+        for u in urls:
+            assert got[u] == urlkit.parse_url(u).hostname().lower(), u
+
+
 class TestCanonicalize:
     def test_canonical(self):
         assert urlkit.canonicalize("HTTP://Ex.COM:80/A?b=1#f") == "http://ex.com/A?b=1"
