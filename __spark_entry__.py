@@ -369,10 +369,21 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with TEETH: threshold 0.35 yields ~100 natural pairs on
+    the synthetic embeddings (0.5 matched on zero rows — a vacuous check),
+    plus 5 PLANTED near-duplicates (vec_id+1000, linearly perturbed copies,
+    cos ≈ 0.99) so the high-similarity regime is exercised too."""
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).filter(F.col("vec_id") < 300)
-    pairs = similarity.cosine_near_dup_pairs(e, threshold=0.5, exact=True)
+    )
+    base = e.filter(F.col("vec_id") < 300)
+    planted = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.9 + 0.01).alias("embedding"),
+    )
+    pairs = similarity.cosine_near_dup_pairs(
+        base.unionByName(planted), threshold=0.35, exact=True
+    )
     return pairs.select(
         "id_a", "id_b", F.floor(F.col("cos_sim") * 10000).alias("cos_sim_e4")
     )
@@ -399,7 +410,10 @@ def q_ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     dim = 64
-    return similarity.lsh_knn(e, queries, dim=dim, k=10, num_planes=4, num_tables=16)
+    # planes=3 (8 buckets/table) x 16 tables: recall@10 = 1.0 on the sf
+    # embeddings (pinned in tests); at larger corpora raise planes with
+    # log2(n) to keep bucket sizes bounded
+    return similarity.lsh_knn(e, queries, dim=dim, k=10, num_planes=3, num_tables=16)
 
 
 def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,7 +423,23 @@ def q_ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_knn(e, queries, dim=64, k=10, n_centroids=16, n_probe=4)
+    cents = similarity.train_ivf_centroids(e, dim=64, n_centroids=16)
+    return similarity.ivf_knn(
+        e, queries, dim=64, k=10, n_centroids=16, n_probe=8, centroids=cents
+    )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of both ANN variants vs exact brute force, per query —
+    rows-only, so the driver log carries the number every round; tests pin
+    recall >= 0.9 at sf0.01 (tests/test_textops.py)."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_recall(e, queries, dim=64, k=10)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "ann_lsh_knn": q_ann_lsh_knn,
         "ann_ivf_knn": q_ann_ivf_knn,
+        "ann_recall": q_ann_recall,
         "multimodal_features": q_multimodal_features,
         "crawl_roundtrip": q_crawl_roundtrip,
     }
@@ -718,19 +749,16 @@ def oracle_sql() -> dict[str, str]:
                                        t -> list_contains({sw_en}, t)))::DOUBLE AS sw
                 FROM documents)
         """,
+        # generated from _STOPWORDS so added language profiles keep the twin
+        # in lockstep; tie-break = earliest language code (both engines)
         "langid_docs": f"""
             SELECT doc_id,
                    CASE WHEN {best} <= 0 THEN 'und'
-                        WHEN r_de = {best} THEN 'de'
-                        WHEN r_en = {best} THEN 'en'
-                        WHEN r_es = {best} THEN 'es'
-                        ELSE 'fr' END AS lang_pred
+                        {' '.join(f"WHEN r_{lang} = {best} THEN '{lang}'" for lang in sorted(textops._STOPWORDS)[:-1])}
+                        ELSE '{sorted(textops._STOPWORDS)[-1]}' END AS lang_pred
             FROM (
                 SELECT doc_id,
-                       {langid_ratio['de']} AS r_de,
-                       {langid_ratio['en']} AS r_en,
-                       {langid_ratio['es']} AS r_es,
-                       {langid_ratio['fr']} AS r_fr
+                       {", ".join(f"{langid_ratio[lang]} AS r_{lang}" for lang in sorted(textops._STOPWORDS))}
                 FROM documents)
         """,
         "fingerprint_docs": f"""
@@ -773,10 +801,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE knn_rank <= 10
         """,
         "embedding_near_dup": """
+            WITH u AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 300
+              UNION ALL
+              SELECT vec_id + 1000 AS vec_id,
+                     list_transform(embedding::DOUBLE[], x -> x * 0.9 + 0.01) AS emb
+              FROM embeddings WHERE vec_id < 5)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000) AS BIGINT) AS cos_sim_e4
-            FROM embeddings a JOIN embeddings b
-              ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+                   CAST(floor(list_cosine_similarity(a.emb, b.emb) * 10000) AS BIGINT) AS cos_sim_e4
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
         """,
     }

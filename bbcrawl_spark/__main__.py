@@ -63,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
 
     crawler_kind = ""
     headernames = False
+    allow_redirect = True
     tags: tuple[str, ...] = ("audio", "img", "video")
     attrs: tuple[tuple[str, str], ...] = ()
     if bbcrawl_args is not None:
@@ -81,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
         excludes = excludes + tuple(crawler_spec.excludes)
         crawler_kind = crawler_spec.kind
         headernames = crawler_spec.headernames
+        allow_redirect = crawler_spec.allow_redirect
         if crawler_spec.tags:
             tags = crawler_spec.tags
         attrs = crawler_spec.attrs
@@ -97,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
         follow_links=not args.no_follow_links,
         crawler=crawler_kind,
         headernames=headernames,
+        allow_redirect=allow_redirect,
         tags=tags,
         attrs=attrs,
     )

@@ -114,16 +114,21 @@ def decode_html_udf(html: pd.Series, content_type: pd.Series) -> pd.Series:
     )
 
 
+#: default when the pages table carries no Content-Type column
+CT_DEFAULT = "text/html; charset=utf-8"
+
+
 @pandas_udf(StringType())
-def extract_text_udf(html: pd.Series) -> pd.Series:
-    """H10: byte-identical text per url (html binary assumed UTF-8; pair
-    with decode_html_udf for other charsets)."""
+def extract_text_udf(html: pd.Series, content_type: pd.Series) -> pd.Series:
+    """H10: byte-identical text per url. content_type drives the F10 decode
+    ladder (BOM > Content-Type charset > <meta> > cp1252); pass
+    ``F.lit(CT_DEFAULT)`` when the pages table has no Content-Type column."""
     return pd.Series(
         [
-            extract.extract_text(decode_html(bytes(b), "text/html; charset=utf-8"))
+            extract.extract_text(decode_html(bytes(b), ct or CT_DEFAULT))
             if b is not None
             else ""
-            for b in html
+            for b, ct in zip(html, content_type)
         ]
     )
 
@@ -141,13 +146,13 @@ LINK_SCHEMA = ArrayType(
 
 
 @pandas_udf(LINK_SCHEMA)
-def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+def extract_links_udf(html: pd.Series, url: pd.Series, content_type: pd.Series) -> pd.Series:
     """Frontier growth: all <a href>, doc order, rel2abs-resolved."""
 
-    def _one(b, u):
+    def _one(b, u, ct):
         if b is None:
             return []
-        text = decode_html(bytes(b), "text/html; charset=utf-8")
+        text = decode_html(bytes(b), ct or CT_DEFAULT)
         return [
             {
                 "link": l.link,
@@ -158,7 +163,7 @@ def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
             for l in extract.extract_links(text, u)
         ]
 
-    return pd.Series([_one(b, u) for b, u in zip(html, url)])
+    return pd.Series([_one(b, u, ct) for b, u, ct in zip(html, url, content_type)])
 
 
 EXTRACTED_FILE_SCHEMA = ArrayType(
@@ -205,14 +210,14 @@ def make_extract_vb_udf(headernames: bool = False):
     """
 
     @pandas_udf(EXTRACTED_FILE_SCHEMA)
-    def extract_vb(html: pd.Series, url: pd.Series) -> pd.Series:
-        def _one(b, u):
+    def extract_vb(html: pd.Series, url: pd.Series, content_type: pd.Series) -> pd.Series:
+        def _one(b, u, ct):
             if b is None:
                 return []
-            text = decode_html(bytes(b), "text/html; charset=utf-8")
+            text = decode_html(bytes(b), ct or CT_DEFAULT)
             return _rows(extract.extract_vb_attachments(text, u, headernames=headernames))
 
-        return pd.Series([_one(b, u) for b, u in zip(html, url)])
+        return pd.Series([_one(b, u, ct) for b, u, ct in zip(html, url, content_type)])
 
     return extract_vb
 
@@ -227,14 +232,18 @@ def make_extract_srcs_udf(tags: tuple[str, ...] = extract.SRC_TAGS,
     (the reference parses them from -tags/-attrs flags)."""
 
     @pandas_udf(EXTRACTED_FILE_SCHEMA)
-    def extract_srcs_udf(html: pd.Series, url: pd.Series, page_num: pd.Series) -> pd.Series:
-        def _one(b, u, p):
+    def extract_srcs_udf(
+        html: pd.Series, url: pd.Series, page_num: pd.Series, content_type: pd.Series
+    ) -> pd.Series:
+        def _one(b, u, p, ct):
             if b is None:
                 return []
-            text = decode_html(bytes(b), "text/html; charset=utf-8")
+            text = decode_html(bytes(b), ct or CT_DEFAULT)
             return _rows(extract.extract_srcs(text, u, int(p), tags, attrs))
 
-        return pd.Series([_one(b, u, p) for b, u, p in zip(html, url, page_num)])
+        return pd.Series(
+            [_one(b, u, p, ct) for b, u, p, ct in zip(html, url, page_num, content_type)]
+        )
 
     return extract_srcs_udf
 

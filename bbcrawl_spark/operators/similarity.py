@@ -21,7 +21,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-__all__ = ["cosine", "brute_force_knn", "make_hyperplane_udf", "lsh_knn", "cosine_near_dup_pairs"]
+__all__ = [
+    "cosine",
+    "brute_force_knn",
+    "make_hyperplane_udf",
+    "lsh_knn",
+    "ivf_knn",
+    "ann_recall",
+    "cosine_near_dup_pairs",
+]
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -125,17 +133,63 @@ def lsh_knn(
     )
 
 
-def make_ivf_assign_udf(dim: int, n_centroids: int = 16, n_probe: int = 1,
-                        seed: int = 42):
-    """pandas UDF: embedding -> array of the n_probe nearest centroid ids.
-
-    Centroids are seeded unit vectors (data-independent, fully
-    deterministic — a trained-kmeans codebook slots in by replacing the
-    matrix). One numpy matmul per Arrow batch.
-    """
+def _seed_centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     cents = rng.standard_normal((n_centroids, dim)).astype(np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    seed: int = 42,
+    max_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means codebook on a DETERMINISTIC corpus sample.
+
+    Sampling is by ``id % m == 0`` (no RNG, no shuffle-order dependence) and
+    the Lloyd iterations run in numpy on the driver, so the codebook — and
+    therefore every downstream IVF assignment — is bit-reproducible across
+    runs. This mirrors standard practice at scale (e.g. FAISS trains IVF
+    codebooks on a ~10^5-10^6 vector sample, not the full corpus); a
+    distributed groupBy-mean would be cheaper still but float summation
+    order would make assignments flap across runs.
+    """
+    n = corpus.count()
+    step = max(1, n // max_sample)
+    rows = (
+        corpus.filter(F.col(id_col) % step == 0)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    m = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    m = m / norms
+    cents = _seed_centroids(dim, n_centroids, seed)
+    for _ in range(n_iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def make_ivf_assign_udf(dim: int, n_centroids: int = 16, n_probe: int = 1,
+                        seed: int = 42, centroids: np.ndarray | None = None):
+    """pandas UDF: embedding -> array of the n_probe nearest centroid ids.
+
+    ``centroids``: a trained codebook (``train_ivf_centroids``); defaults to
+    seeded unit vectors (data-independent). One numpy matmul per Arrow batch.
+    """
+    cents = centroids if centroids is not None else _seed_centroids(dim, n_centroids, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
     def ivf_assign(vec: pd.Series) -> pd.Series:
@@ -161,14 +215,18 @@ def ivf_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors live in their single nearest-centroid
     inverted list; queries probe their n_probe nearest lists and score
     exactly within them. The corpus shuffles once on centroid id — the
     classic big-corpus/small-query scale shape. Self-match guaranteed
-    (a vector's own list is always its query's first probe)."""
-    assign = make_ivf_assign_udf(dim, n_centroids, n_probe=1)
-    probe = make_ivf_assign_udf(dim, n_centroids, n_probe=n_probe)
+    (a vector's own list is always its query's first probe).
+
+    ``centroids``: trained codebook (``train_ivf_centroids``) — materially
+    better recall per probe than the seeded default."""
+    assign = make_ivf_assign_udf(dim, n_centroids, n_probe=1, centroids=centroids)
+    probe = make_ivf_assign_udf(dim, n_centroids, n_probe=n_probe, centroids=centroids)
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
     ).withColumn("centroid", F.element_at(assign(F.col("_cvec")), 1))
@@ -182,6 +240,65 @@ def ivf_knn(
     return scored.withColumn("knn_rank", F.row_number().over(w)).filter(
         F.col("knn_rank") <= k
     )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = 3,
+    num_tables: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    ivf_centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Per-query recall@k of BOTH ANN variants against exact brute force:
+    (variant, query_id, recall_e4). Recall is numbers, not vibes — the
+    driver records this rows-only each round and tests pin a floor on it.
+
+    IVF uses a trained codebook (``train_ivf_centroids``) unless one is
+    passed in. Ties at the k-th cosine are broken by vec_id in both the
+    exact and the ANN rankings, so recall is deterministic.
+    """
+    if ivf_centroids is None:
+        ivf_centroids = train_ivf_centroids(
+            corpus, dim, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    truth = brute_force_knn(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select("query_id", "vec_id")
+    variants = {
+        "lsh": lsh_knn(
+            corpus, queries, dim=dim, k=k, num_planes=num_planes,
+            num_tables=num_tables, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        ),
+        "ivf": ivf_knn(
+            corpus, queries, dim=dim, k=k, n_centroids=n_centroids,
+            n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, centroids=ivf_centroids,
+        ),
+    }
+    out = None
+    qids = queries.select(F.col(query_id_col).alias("query_id")).distinct()
+    for name, df in variants.items():
+        hits = (
+            truth.join(df.select("query_id", "vec_id"), ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        rec = qids.join(hits, "query_id", "left").select(
+            F.lit(name).alias("variant"),
+            "query_id",
+            F.floor(F.coalesce(F.col("n_hits"), F.lit(0)) * 10000 / k).alias("recall_e4"),
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
 
 
 def cosine_near_dup_pairs(

@@ -71,6 +71,9 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # BPE-ish pre-tokenizer: letter runs, single digits, punctuation singles
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
+#: stopword profiles; words chosen to be discriminative BETWEEN the profiled
+#: languages (shared Romance words like 'la'/'que' appear in several
+#: profiles — the argmax tiebreak order below is part of the contract)
 _STOPWORDS = {
     "en": ["the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
            "on", "with", "as", "was", "be"],
@@ -80,6 +83,12 @@ _STOPWORDS = {
            "une", "du", "pas", "sur", "avec", "au"],
     "es": ["el", "la", "los", "las", "es", "y", "en", "que", "por", "una",
            "del", "con", "para", "se", "no"],
+    "it": ["il", "di", "che", "la", "per", "del", "una", "sono", "nel",
+           "gli", "anche", "come", "più", "questo", "della"],
+    "pt": ["o", "de", "que", "do", "da", "em", "um", "para", "com", "não",
+           "uma", "os", "dos", "mais", "como"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "is", "op", "te", "zijn",
+           "voor", "met", "niet", "aan", "ook"],
 }
 
 

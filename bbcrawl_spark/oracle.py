@@ -95,9 +95,15 @@ def crawl_oracle(
     excludes: set[str] | None = None,
     max_rounds: int = 100,
     follow_links: bool = True,
+    content_types: dict[str, str] | None = None,  # url -> Content-Type header
+    redirects: dict[str, int] | None = None,  # url -> redirect count of its GET
+    allow_redirect: bool = True,  # True=Log policy (cap 10), False=Deny
 ) -> OracleResult:
     robots = robots or {}
     excludes = excludes or set()
+    content_types = content_types or {}
+    redirects = redirects or {}
+    redirect_cap = 10 if allow_redirect else 0
     res = OracleResult()
     frontier = [
         entry_for(t[0], t[1], t[2], -1, t[3] if len(t) > 3 else None) for t in seeds
@@ -137,10 +143,16 @@ def crawl_oracle(
             body = pages.get(e.url)
             if body is None:
                 continue
+            if redirects.get(e.url, 0) > redirect_cap:
+                # P6: the GET errored via the redirect policy — page not
+                # fetched, url stays seen (the attempt happened)
+                continue
             n_fetched += 1
             from .htmlkit import decode_html
 
-            html = decode_html(body, "text/html; charset=utf-8")
+            html = decode_html(
+                body, content_types.get(e.url, "text/html; charset=utf-8")
+            )
             res.texts[e.url] = extract.extract_text(html)
             if not follow_links:
                 continue

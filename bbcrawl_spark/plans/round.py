@@ -87,6 +87,10 @@ class CrawlConfig:
     # reference would have fetched (its primary output)
     crawler: str = ""
     headernames: bool = False  # vb -names-from-header
+    # reference -redirect flag (crawlers.go:155-162): True -> redirect.Log
+    # (error past 10 redirects), False -> redirect.Deny (error on any);
+    # consulted when the pages table carries an n_redirects column
+    allow_redirect: bool = True
     tags: tuple[str, ...] = ("audio", "img", "video")  # src -tags
     attrs: tuple[tuple[str, str], ...] = ()  # src -attrs pairs
 
@@ -259,15 +263,30 @@ class CrawlDriver:
 
         # --- fetch = join pages (J3) + extraction (H9/H10) ----------------
         pages = self.spark.read.parquet(cfg.pages_path)
+        has_ct = "content_type" in pages.columns
+        has_rd = "n_redirects" in pages.columns
+        pcols = ["url", "html"]
+        pcols += ["content_type"] if has_ct else []
+        pcols += ["n_redirects"] if has_rd else []
+        joined = scheduled.join(pages.select(*pcols), "url", "inner")
+        if has_rd:
+            # P6 redirect policy (redirect.go:16-33): Deny errors on ANY
+            # redirect, Log past the cap of 10 — a failed GET means the page
+            # is NOT fetched (no text, no links, no downloads) but the url
+            # stays seen: the attempt happened.
+            joined = joined.filter(
+                F.col("n_redirects") <= (10 if cfg.allow_redirect else 0)
+            )
         # persist: fetched feeds text output, link extraction AND metrics —
         # without it the pages join + Arrow extraction would re-run per sink
-        fetched = scheduled.join(pages.select("url", "html"), "url", "inner").persist()
+        fetched = joined.persist()
+        ct = F.col("content_type") if has_ct else F.lit("text/html; charset=utf-8")
         fetched_out = fetched.select(
             F.lit(r).alias("round"),
             "url",
             "url_hash",
             "host",
-            extract_text_udf("html").alias("text"),
+            extract_text_udf("html", ct).alias("text"),
         )
 
         seen_new = scheduled.select("url_hash")
@@ -275,7 +294,7 @@ class CrawlDriver:
             links = fetched.select(
                 F.col("url").alias("page_url"),
                 F.col("seed_id"),
-                F.explode(extract_links_udf("html", "url")).alias("l"),
+                F.explode(extract_links_udf("html", "url", ct)).alias("l"),
             ).select("page_url", "seed_id", F.col("l.abs_url").alias("url"))
             new_entries = links.select(
                 "url",
@@ -296,7 +315,7 @@ class CrawlDriver:
         # --- crawler-family downloads (the reference's primary output) ----
         downloads = None
         if cfg.crawler == "vb-attachments":
-            ex = make_extract_vb_udf(cfg.headernames)("html", "url")
+            ex = make_extract_vb_udf(cfg.headernames)("html", "url", ct)
             downloads = fetched.select(
                 F.lit(r).alias("round"), F.col("url").alias("page_url"),
                 "page_num", F.explode(ex).alias("f"),
@@ -307,7 +326,8 @@ class CrawlDriver:
             src_udf = make_extract_srcs_udf(cfg.tags, list(cfg.attrs) or None)
             downloads = fetched.select(
                 F.lit(r).alias("round"), F.col("url").alias("page_url"),
-                "page_num", F.explode(src_udf("html", "url", "page_num")).alias("f"),
+                "page_num",
+                F.explode(src_udf("html", "url", "page_num", ct)).alias("f"),
             ).select("round", "page_url", "page_num", "f.*")
         elif cfg.crawler == "file":
             # every frontier url IS the download (crawlers.go:191-212)

@@ -85,11 +85,24 @@ def make_board_site(
     pages_per_thread: int = 3,
     seed: int = 42,
     attachment_pages: bool = False,
+    charset_mix: bool = False,
+    redirect_pages: bool = False,
 ) -> BoardSite:
     """``attachment_pages=True`` additionally adds the vb attachment URLs to
     the pages table as fetchable binary resources carrying Content-Disposition
     headers — the input the ``-names-from-header`` path needs (the reference
-    reads the header from the attachment GET, downloader.go:121-143)."""
+    reads the header from the attachment GET, downloader.go:121-143).
+
+    ``charset_mix=True`` encodes a deterministic subset of pages as cp1252
+    (charset in Content-Type), BOM'd UTF-8 (no charset in Content-Type), and
+    latin-1 with a ``<meta charset>`` only — one page class per rung of the
+    F10 decode ladder (libhttp/encoding.go:10-16), with umlaut text so a
+    wrong decode is visible in the byte-identical-text check.
+
+    ``redirect_pages=True`` marks a deterministic subset of pages with
+    n_redirects 3 (Log-policy-ok, Deny-blocked) and 12 (blocked by both) —
+    the P6 redirect-gate input (libhttp/redirect/redirect.go:16-33).
+    """
     rng = random.Random(seed)
     site = BoardSite()
     hostnames = [f"forum{i}.example" for i in range(hosts)]
@@ -101,13 +114,41 @@ def make_board_site(
             for t in range(threads):
                 for p in range(1, pages_per_thread + 1):
                     url = _thread_url(host, b, t, p)
-                    html = _thread_page_html(
-                        rng, hostnames, host, b, t, p, threads, pages_per_thread
+                    variant = (b * 31 + t * 7 + p) % 4 if charset_mix else 0
+                    extra = (
+                        "Grüße für die Crème brûlée — schöne Füße, détail."
+                        if variant
+                        else ""
                     )
-                    body = html.encode("utf-8")
+                    html = _thread_page_html(
+                        rng, hostnames, host, b, t, p, threads, pages_per_thread,
+                        extra_text=extra,
+                    )
+                    if variant == 1:  # Content-Type charset wins
+                        body = html.encode("cp1252")
+                        ctype = "text/html; charset=windows-1252"
+                    elif variant == 2:  # BOM wins (no charset in header)
+                        body = b"\xef\xbb\xbf" + html.encode("utf-8")
+                        ctype = "text/html"
+                    elif variant == 3:  # <meta charset> wins
+                        html = html.replace(
+                            "<head>", '<head><meta charset="windows-1252">'
+                        )
+                        body = html.encode("cp1252")
+                        ctype = "text/html"
+                    else:
+                        body = html.encode("utf-8")
+                        ctype = _CT_UTF8
+                    n_redir = 0
+                    if redirect_pages:
+                        if (b, t, p) == (1, 0, 2):
+                            n_redir = 3  # Log allows (<=10), Deny blocks
+                        elif (b, t, p) == (1, 1, 1):
+                            n_redir = 12  # blocked under both policies
                     site.add_page(
                         url, body, extract.extract_text(html),
                         _BASE_TS + datetime.timedelta(seconds=i),
+                        content_type=ctype, n_redirects=n_redir,
                     )
                     i += 1
                     if attachment_pages:
@@ -156,6 +197,7 @@ def _thread_page_html(
     p: int,
     threads: int,
     pages_per_thread: int,
+    extra_text: str = "",
 ) -> str:
     links: list[str] = []
     if p < pages_per_thread:
@@ -188,7 +230,7 @@ def _thread_page_html(
             )
         posts.append(
             f'<div id="post_{post_no}"><p>Post {post_no} of thread {t} '
-            f"board {b} on {host}, page {p}.</p>{atts}</div>"
+            f"board {b} on {host}, page {p}. {extra_text}</p>{atts}</div>"
         )
 
     return (

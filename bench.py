@@ -105,10 +105,15 @@ def main() -> None:
     seen.count()
 
     def crawl_pipeline():
+        # default (unsalted) politeness; materialize BOTH scheduled and
+        # deferred sides like the real round loop does — filter("scheduled")
+        # would let Catalyst prune the deferred branch and flatter the number
         cand = dedup.dedup_against_seen(urls, seen)
-        ranked = politeness.rank_fetch_slots(cand, budget=50, salt_partitions=8)
-        n = ranked.filter("scheduled").count()
-        assert n > 0
+        ranked = politeness.rank_fetch_slots(cand, budget=50)
+        row = ranked.agg(
+            F.sum("fetch_rank"), F.sum(F.col("scheduled").cast("long")), F.count("*")
+        ).first()
+        assert row[1] > 0
     timed("crawl_pipeline", crawl_pipeline)
     extras["n_frontier_urls"] = n_urls
     extras["urls_per_sec"] = round(n_urls / timings["crawl_pipeline"], 0)
@@ -121,6 +126,43 @@ def main() -> None:
         flagged = dedup.bloom_maybe_seen(urls, spec)
         assert flagged.filter("maybe_seen").count() > 0
     timed("bloom_roundtrip", bloom_roundtrip)
+
+    # --- incremental bloom: per-round cost must track |seen_new|, not |seen|
+    # At a crawl-realistic seen size (20M keys) compare one round's
+    # maintenance: full rebuild from the table (round-1 design) vs OR-ing a
+    # 100k delta into the existing blobs (round-2). The sf-table bloom above
+    # is too small to separate the two from fixed job overhead.
+    N_SEEN_BIG = 20_000_000 * SCALE
+    big_seen = (
+        spark.range(0, N_SEEN_BIG, 1, CPUS * 2)
+        .select(F.xxhash64("id").alias("url_hash"))
+        .cache()
+    )
+    big_seen.count()
+    big_delta = (
+        spark.range(N_SEEN_BIG, N_SEEN_BIG + 100_000, 1, CPUS)
+        .select(F.xxhash64("id").alias("url_hash"))
+        .cache()
+    )
+    big_delta.count()
+    bbase = tempfile.mkdtemp(prefix="bench_bloom_base_")
+    dedup.build_partitioned_bloom(big_seen, bbase, num_partitions=64)
+
+    def bloom_full_rebuild():
+        d = tempfile.mkdtemp(prefix="bench_bloom_full_")
+        dedup.build_partitioned_bloom(big_seen, d, num_partitions=64)
+    timed("bloom_full_rebuild_20m", bloom_full_rebuild)
+
+    def bloom_incr():
+        d = tempfile.mkdtemp(prefix="bench_bloom_incr_")
+        dedup.update_partitioned_bloom(big_delta, bbase, d, 64, seen_full=big_seen)
+    timed("bloom_incr_update_20m", bloom_incr)
+    extras["bloom_incr_delta_rows"] = 100_000
+    extras["bloom_incr_vs_full_rebuild"] = round(
+        timings["bloom_full_rebuild_20m"] / max(timings["bloom_incr_update_20m"], 1e-9), 1
+    )
+    big_seen.unpersist()
+    big_delta.unpersist()
 
     # --- extraction over synthetic board pages -----------------------------
     # replicate pages so per-task Arrow/worker overhead amortizes and the
@@ -136,9 +178,10 @@ def main() -> None:
     )
     n_pages = pages_df.count()
     def extract_pages():
+        ct = F.lit(udfs.CT_DEFAULT)
         out = pages_df.select(
-            udfs.extract_text_udf("html").alias("text"),
-            F.size(udfs.extract_links_udf("html", "url")).alias("n_links"),
+            udfs.extract_text_udf("html", ct).alias("text"),
+            F.size(udfs.extract_links_udf("html", "url", ct)).alias("n_links"),
         )
         assert out.agg(F.sum("n_links")).first()[0] > 0
     timed("extract_pages", extract_pages)

@@ -199,6 +199,71 @@ class TestCrawlerFamilies:
             assert r["out_name"].startswith(f"{r['page_num']} - ")
 
 
+class TestCharsetAndRedirects:
+    def _site_run(self, spark, tmp_path, name, want_kw=None, drv_kw=None, **site_kw):
+        hsite = make_board_site(hosts=2, boards=2, threads=2, pages_per_thread=3, **site_kw)
+        pages_path = str(tmp_path / f"{name}.parquet")
+        hsite.to_df(spark).write.mode("overwrite").parquet(pages_path)
+        robots = {h: parse_robots_txt(t) for h, t in hsite.robots.items()}
+        want = oracle.crawl_oracle(
+            pages=hsite.pages, seeds=hsite.seeds, budget=2, robots=robots,
+            excludes=set(hsite.excludes), max_rounds=20, **(want_kw or {}),
+        )
+        drv = _driver(spark, hsite, pages_path, tmp_path / f"wh_{name}", **(drv_kw or {}))
+        drv.run()
+        return hsite, want, drv
+
+    def test_mixed_charset_byte_identical(self, spark, tmp_path):
+        """F10 end-to-end: cp1252 (Content-Type), BOM'd UTF-8 and
+        <meta charset> pages, umlaut text — extracted text byte-identical
+        to the oracle through the whole crawl loop."""
+        hsite, want, drv = self._site_run(
+            spark, tmp_path, "cs", charset_mix=True,
+            want_kw={"content_types": None},  # placeholder, replaced below
+        )
+        # rebuild the oracle WITH content_types (self._site_run default has none)
+        robots = {h: parse_robots_txt(t) for h, t in hsite.robots.items()}
+        want = oracle.crawl_oracle(
+            pages=hsite.pages, seeds=hsite.seeds, budget=2, robots=robots,
+            excludes=set(hsite.excludes), max_rounds=20,
+            content_types=hsite.content_types,
+        )
+        got_texts = {r["url"]: r["text"] for r in drv.fetched_texts().collect()}
+        assert got_texts == want.texts
+        # the fixture must actually exercise non-UTF-8 text
+        assert any("Grüße" in t for t in got_texts.values())
+        assert _order(drv) == want.crawl_order
+
+    @pytest.mark.parametrize("allow", [True, False])
+    def test_redirect_policy_in_gates(self, spark, tmp_path, allow):
+        """P6: Log (cap 10) vs Deny (any redirect) gate fetches in the round
+        loop; blocked pages stay seen but yield no text/links — matched
+        against the oracle under the same policy."""
+        hsite, want, drv = self._site_run(
+            spark, tmp_path, f"rd{int(allow)}", redirect_pages=True,
+            want_kw={"redirects": None, "allow_redirect": allow},
+            drv_kw={"allow_redirect": allow},
+        )
+        robots = {h: parse_robots_txt(t) for h, t in hsite.robots.items()}
+        want = oracle.crawl_oracle(
+            pages=hsite.pages, seeds=hsite.seeds, budget=2, robots=robots,
+            excludes=set(hsite.excludes), max_rounds=20,
+            redirects=hsite.redirects, allow_redirect=allow,
+        )
+        got_texts = {r["url"]: r["text"] for r in drv.fetched_texts().collect()}
+        assert got_texts == want.texts
+        assert _order(drv) == want.crawl_order
+        assert {r["url_hash"] for r in drv.seen_set().collect()} == want.seen
+        blocked_12 = "http://forum0.example/b1/t1"  # (b,t,p)=(1,1,1), n=12
+        assert blocked_12 not in got_texts
+        log_only = "http://forum0.example/b1/t0/page2"  # n=3
+        if allow:
+            # Log policy: 3 redirects pass (page is reachable via links)
+            assert hsite.redirects[log_only] == 3
+        else:
+            assert log_only not in got_texts
+
+
 class TestSeedPageNum:
     def test_pager_page_num_carried_into_seed_frontier(self, spark, tmp_path):
         """Query-pager seeds (?page=N) have no '/pageN' suffix; the pager's

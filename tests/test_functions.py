@@ -107,7 +107,11 @@ class TestExtractUDFs:
             "url string, html binary",
         )
         rows = (
-            df.select(F.explode(udfs.extract_vb_udf("html", "url")).alias("f"))
+            df.select(
+                F.explode(
+                    udfs.extract_vb_udf("html", "url", F.lit(udfs.CT_DEFAULT))
+                ).alias("f")
+            )
             .select("f.*")
             .where(F.col("err") == "")
             .orderBy("element_index")
@@ -127,7 +131,11 @@ class TestExtractUDFs:
             "url string, html binary, page_num int",
         )
         rows = (
-            df.select(F.explode(udf("html", "url", "page_num")).alias("f"))
+            df.select(
+                F.explode(
+                    udf("html", "url", "page_num", F.lit(udfs.CT_DEFAULT))
+                ).alias("f")
+            )
             .select("f.*")
             .where(F.col("err") == "")
             .collect()
@@ -141,14 +149,27 @@ class TestExtractUDFs:
 
         html = "<body>a<script>no</script>b ü</body>"
         df = spark.createDataFrame([(html.encode("utf-8"),)], "html binary")
-        [r] = df.select(udfs.extract_text_udf("html").alias("t")).collect()
+        [r] = df.select(
+            udfs.extract_text_udf("html", F.lit(udfs.CT_DEFAULT)).alias("t")
+        ).collect()
         assert r["t"] == extract.extract_text(html) == "ab ü"
+        # the decode ladder through the UDF: cp1252 body + charset header
+        df2 = spark.createDataFrame(
+            [(html.encode("cp1252"), "text/html; charset=windows-1252")],
+            "html binary, ct string",
+        )
+        [r2] = df2.select(udfs.extract_text_udf("html", "ct").alias("t")).collect()
+        assert r2["t"] == "ab ü"
 
     def test_links_udf(self, spark):
         html = b'<a href="/x">l</a><a href="p2">n</a>'
         df = spark.createDataFrame([("http://h:9/a/b", html)], "url string, html binary")
         rows = (
-            df.select(F.explode(udfs.extract_links_udf("html", "url")).alias("l"))
+            df.select(
+                F.explode(
+                    udfs.extract_links_udf("html", "url", F.lit(udfs.CT_DEFAULT))
+                ).alias("l")
+            )
             .select("l.abs_url")
             .collect()
         )

@@ -72,6 +72,18 @@ class TestTokenAndQuality:
         rows = textops.langid(df).orderBy("doc_id").collect()
         assert [r["lang_pred"] for r in rows] == ["en", "de", "fr", "es", "und"]
 
+    def test_langid_extended_profiles(self, spark):
+        df = _docs_df(
+            spark,
+            [
+                "il gatto che dorme nella casa è anche il più bello della città",
+                "o cachorro do vizinho não gosta de andar com os outros para casa",
+                "de hond is niet in het huis en dat is ook goed voor zijn baas",
+            ],
+        )
+        rows = textops.langid(df).orderBy("doc_id").collect()
+        assert [r["lang_pred"] for r in rows] == ["it", "pt", "nl"]
+
     def test_fingerprint_stable(self, spark):
         df = _docs_df(spark, ["Some  Text", "some text"])
         rows = textops.fingerprint(df).collect()
@@ -188,14 +200,36 @@ class TestSimilarity:
         # synthetic near-random embeddings are the ANN worst case (weak
         # neighbor structure): short codes + many tables for recall
         approx = similarity.lsh_knn(
-            corpus, queries, dim=dim, k=5, num_planes=4, num_tables=16
+            corpus, queries, dim=dim, k=5, num_planes=3, num_tables=16
         )
         e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
         a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
         recall = len(e & a) / len(e)
-        assert recall >= 0.6  # multi-table LSH recall
+        assert recall >= 0.9  # pinned: the entry-query config must hold this
         # self-match always survives (same bucket by construction)
         assert all((q, q) in a for q in {p[0] for p in e})
+
+    def test_ann_recall_pinned_floors(self, spark):
+        """The driver-visible recall query (q_ann_recall config: LSH p3/t16,
+        IVF trained codebook C16/p8) holds pinned floors at sf0.01 — the
+        scale the driver's correctness gate runs at: LSH per-query >= 0.9;
+        IVF mean >= 0.9 and per-query >= 0.8 (this near-uniform synthetic
+        data is the IVF worst case — real clustered embeddings reach the
+        same recall at far smaller probe fractions)."""
+        corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).cache()
+        queries = corpus.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        rows = similarity.ann_recall(corpus, queries, dim=64, k=10).collect()
+        by_variant: dict[str, list[float]] = {}
+        for r in rows:
+            by_variant.setdefault(r["variant"], []).append(r["recall_e4"] / 10000)
+        assert len(by_variant["lsh"]) == 5 and len(by_variant["ivf"]) == 5
+        assert min(by_variant["lsh"]) >= 0.9, by_variant
+        assert min(by_variant["ivf"]) >= 0.8, by_variant
+        assert sum(by_variant["ivf"]) / 5 >= 0.9, by_variant
 
     def test_near_dup_exact_path(self, spark):
         rows = [
@@ -270,14 +304,23 @@ class TestIVF:
         queries = corpus.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
         dim = len(corpus.first()["embedding"])
         exact = similarity.brute_force_knn(corpus, queries, k=5)
+        cents = similarity.train_ivf_centroids(corpus, dim=dim, n_centroids=8)
         approx = similarity.ivf_knn(
-            corpus, queries, dim=dim, k=5, n_centroids=8, n_probe=4
+            corpus, queries, dim=dim, k=5, n_centroids=8, n_probe=4, centroids=cents
         )
         e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
         a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
         # a vector's own inverted list is always probed first
         assert all((q, q) in a for q in {p[0] for p in e})
-        assert len(e & a) / len(e) >= 0.5
+        assert len(e & a) / len(e) >= 0.8  # pinned (trained codebook)
+
+    def test_trained_centroids_deterministic(self, spark, emb):
+        corpus = emb.limit(200).cache()
+        c1 = similarity.train_ivf_centroids(corpus, dim=64, n_centroids=8)
+        c2 = similarity.train_ivf_centroids(corpus, dim=64, n_centroids=8)
+        import numpy as np
+
+        assert np.array_equal(c1, c2)
 
     def test_ivf_deterministic(self, spark, emb):
         corpus = emb.limit(50).cache()
