@@ -102,7 +102,15 @@ class _TreeBuilder(HTMLParser):
 def parse_html(text: str) -> Node:
     """Parse HTML into a DOM rooted at a synthetic ``#document`` node and
     assign document-order element indices (DFS pre-order, elements only) —
-    the order ``walkTree`` visits nodes in the reference."""
+    the order ``walkTree`` visits nodes in the reference.
+
+    PERFORMANCE SWAP POINT: this uses the stdlib ``html.parser`` (pure
+    Python, ~70k pages/s/32c) because no C parser (lxml/selectolax) is
+    installable in this sandbox. On a real cluster, swap the parser HERE —
+    build the same ``Node`` tree from lxml's events — and every extraction
+    UDF and the Go-parity fixtures (tests/test_extraction.py) keep working
+    unchanged; they pin the tree contract, not the parser.
+    """
     builder = _TreeBuilder()
     builder.feed(text)
     builder.close()

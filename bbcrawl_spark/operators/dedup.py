@@ -266,6 +266,17 @@ def update_partitioned_bloom(
     os.makedirs(new_dir, exist_ok=True)
     P, k = num_partitions, _NUM_HASHES
     prev = _read_manifest(prev_dir) if prev_dir else {}
+    if prev_dir and not prev:
+        import glob as _glob
+
+        if _glob.glob(os.path.join(prev_dir, "bloom_*.npy")):
+            # blobs without a manifest: updating blind would rebuild
+            # partitions from the delta alone and silently DROP the old
+            # keys — a false-negative factory. Refuse loudly.
+            raise ValueError(
+                f"previous bloom dir {prev_dir!r} has blobs but no manifest; "
+                "rebuild it with build_partitioned_bloom first"
+            )
 
     def _delta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buckets: dict[int, list[np.ndarray]] = {}
@@ -380,16 +391,27 @@ def dedup_against_seen(
     seen: DataFrame,
     bloom: BloomSpec | None = None,
     hash_col: str = "url_hash",
+    cache: list | None = None,
 ) -> DataFrame:
     """P2/J1: rows of ``candidates`` whose ``url_hash`` is NOT in ``seen``.
 
     With a Bloom spec, only the maybe-seen fraction reaches the anti-join
     shuffle; definitely-new rows pass through map-side. Exactness is
     preserved (no false negatives + exact confirm).
+
+    ``cache``: pass a list to have the internally FLAGGED frontier persisted
+    and appended to it (caller unpersists after its sinks materialize).
+    Without it, the definitely-new / maybe-seen split is two plan branches
+    and the Bloom membership UDF would evaluate TWICE over the full
+    frontier — at 10^10 URLs that doubles the dominant map-side CPU cost of
+    the round. The round loop always passes one.
     """
     if bloom is None:
         return candidates.join(seen.select(hash_col), on=hash_col, how="left_anti")
     flagged = bloom_maybe_seen(candidates, bloom, hash_col)
+    if cache is not None:
+        flagged = flagged.persist()
+        cache.append(flagged)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = maybe.join(seen.select(hash_col), on=hash_col, how="left_anti")

@@ -251,8 +251,12 @@ class CrawlDriver:
             )
         # persist: the Bloom-gated frontier is consumed by the politeness
         # window (twice under salted single_pass — survivor/loser branches);
-        # without it the Bloom UDF + anti-join would re-run per branch
-        cand = dedup.dedup_against_seen(cand, seen, bloom_spec).persist()
+        # _bloom_cache additionally pins the FLAGGED frontier so the Bloom
+        # membership UDF evaluates once, not once per split branch
+        _bloom_cache: list = []
+        cand = dedup.dedup_against_seen(
+            cand, seen, bloom_spec, cache=_bloom_cache
+        ).persist()
 
         # --- politeness window (W1) ---------------------------------------
         ranked = rank_fetch_slots(
@@ -416,6 +420,8 @@ class CrawlDriver:
             )
         ranked.unpersist()
         cand.unpersist()
+        for df in _bloom_cache:
+            df.unpersist()
         fetched.unpersist()
         if cfg.follow_links:
             new_entries.unpersist()

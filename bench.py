@@ -127,6 +127,60 @@ def main() -> None:
         assert flagged.filter("maybe_seen").count() > 0
     timed("bloom_roundtrip", bloom_roundtrip)
 
+
+    # --- extraction over synthetic board pages -----------------------------
+    # replicate pages so per-task Arrow/worker overhead amortizes and the
+    # number reflects sustained extraction throughput
+    site = make_board_site(hosts=4, boards=4, threads=8, pages_per_thread=4)
+    PAGE_MULT = 40 * SCALE
+    pages_df = (
+        site.to_df(spark)
+        .withColumn("_m", F.explode(F.sequence(F.lit(1), F.lit(PAGE_MULT))))
+        .drop("_m")
+        .repartition(CPUS * 2)
+        .cache()
+    )
+    n_pages = pages_df.count()
+    def extract_pages():
+        ct = F.lit(udfs.CT_DEFAULT)
+        out = pages_df.select(
+            udfs.extract_text_udf("html", ct).alias("text"),
+            F.size(udfs.extract_links_udf("html", "url", ct)).alias("n_links"),
+        )
+        assert out.agg(F.sum("n_links")).first()[0] > 0
+    timed("extract_pages", extract_pages)
+    extras["n_pages_extracted"] = n_pages
+    extras["extract_pages_per_sec"] = round(n_pages / timings["extract_pages"], 1)
+    pages_df.unpersist()
+
+    # --- corpus ops over the sf tables -------------------------------------
+    # single parquet file -> 1-2 input partitions; spread UDF work
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    timed("exact_dedup_docs", lambda: textops.exact_dedup(docs).count())
+    timed("minhash_dedup", lambda: textops.minhash_dedup(docs, threshold=0.5).count())
+    # signature stage alone (the numpy whole-batch hash kernel; at web scale
+    # this map-side stage is the bulk of minhash cost — the banded join
+    # dominates only on small corpora like this one)
+    _sig_udf = textops.make_minhash_udf()
+    timed(
+        "minhash_signatures",
+        lambda: docs.select(F.size(_sig_udf("text")).alias("k")).agg(F.sum("k")).first(),
+    )
+    # scale path: df-capped shingle join (identical pairs on this corpus,
+    # ~4.5x faster; cap makes jaccard a lower bound — never false pairs)
+    timed(
+        "ngram_jaccard",
+        lambda: textops.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50).count(),
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("embedding_knn", lambda: similarity.brute_force_knn(emb, queries_df, k=10).count())
+
     # --- incremental bloom: per-round cost must track |seen_new|, not |seen|
     # At a crawl-realistic seen size (20M keys) compare one round's
     # maintenance: full rebuild from the table (round-1 design) vs OR-ing a
@@ -163,51 +217,6 @@ def main() -> None:
     )
     big_seen.unpersist()
     big_delta.unpersist()
-
-    # --- extraction over synthetic board pages -----------------------------
-    # replicate pages so per-task Arrow/worker overhead amortizes and the
-    # number reflects sustained extraction throughput
-    site = make_board_site(hosts=4, boards=4, threads=8, pages_per_thread=4)
-    PAGE_MULT = 40 * SCALE
-    pages_df = (
-        site.to_df(spark)
-        .withColumn("_m", F.explode(F.sequence(F.lit(1), F.lit(PAGE_MULT))))
-        .drop("_m")
-        .repartition(CPUS * 2)
-        .cache()
-    )
-    n_pages = pages_df.count()
-    def extract_pages():
-        ct = F.lit(udfs.CT_DEFAULT)
-        out = pages_df.select(
-            udfs.extract_text_udf("html", ct).alias("text"),
-            F.size(udfs.extract_links_udf("html", "url", ct)).alias("n_links"),
-        )
-        assert out.agg(F.sum("n_links")).first()[0] > 0
-    timed("extract_pages", extract_pages)
-    extras["n_pages_extracted"] = n_pages
-    extras["extract_pages_per_sec"] = round(n_pages / timings["extract_pages"], 1)
-    pages_df.unpersist()
-
-    # --- corpus ops over the sf tables -------------------------------------
-    # single parquet file -> 1-2 input partitions; spread UDF work
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
-    timed("exact_dedup_docs", lambda: textops.exact_dedup(docs).count())
-    timed("minhash_dedup", lambda: textops.minhash_dedup(docs, threshold=0.5).count())
-    # scale path: df-capped shingle join (identical pairs on this corpus,
-    # ~4.5x faster; cap makes jaccard a lower bound — never false pairs)
-    timed(
-        "ngram_jaccard",
-        lambda: textops.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50).count(),
-    )
-
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    timed("embedding_knn", lambda: similarity.brute_force_knn(emb, queries_df, k=10).count())
 
     spark.stop()
     total = round(sum(timings.values()), 3)

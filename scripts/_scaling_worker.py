@@ -41,10 +41,12 @@ def main() -> None:
     parts = max(CORES * 4, 32)
 
     def timed(name: str, fn, n_items: int | None = None, unit: str = "") -> None:
-        fn()  # warm
-        t0 = time.time()
-        fn()
-        dt = time.time() - t0
+        fn()  # warm (JVM JIT, python workers, cache)
+        dt = float("inf")
+        for _ in range(2):  # best-of-2: single warm runs are GC-noisy
+            t0 = time.time()
+            fn()
+            dt = min(dt, time.time() - t0)
         timings[name] = round(dt, 2)
         if n_items:
             throughput[f"{name}_{unit}_per_sec"] = round(n_items / dt, 0)
@@ -121,6 +123,31 @@ def main() -> None:
         bs = dedup.BloomSpec(bdir, 32)
         dedup.bloom_maybe_seen(urls, bs).filter("maybe_seen").count()
     timed("bloom_roundtrip", bloom, N_PIPELINE, "urls")
+
+    # crawl_pipeline_bloom: the engine's CONFIGURED scale path (what
+    # run_round executes with bloom_partitions>0) — the map-side Bloom
+    # prunes the definitely-new majority BEFORE the anti-join exchange, so
+    # only the maybe-seen fraction shuffles; politeness unchanged. The
+    # flagged-frontier cache (like the round loop's) keeps the membership
+    # UDF to ONE evaluation.
+    spec_b = dedup.BloomSpec(bdir, 32)
+
+    def _pipe_bloom():
+        bc: list = []
+        row = (
+            politeness.rank_fetch_slots(
+                dedup.dedup_against_seen(urls, seen, spec_b, cache=bc), budget=50
+            )
+            .agg(
+                F.sum("fetch_rank"), F.sum(F.col("scheduled").cast("long")), F.count("*")
+            )
+            .first()
+        )
+        for df in bc:
+            df.unpersist()
+        return row
+
+    timed("crawl_pipeline_bloom", _pipe_bloom, N_PIPELINE, "urls")
 
     # extract_pages: Arrow-batched html text extraction (python workers)
     site = make_board_site(hosts=2, boards=2, threads=4, pages_per_thread=4)

@@ -58,9 +58,18 @@ def main() -> None:
             f"{a}->{b}": {q: eff((a, b), q) for q in queries} for a, b in pairs
         },
     }
-    # headline: URL-processing efficiency over the compute stages, 2->8
+    # HEADLINE = the workload-shaped stage in the engine's CONFIGURED scale
+    # shape (crawl_pipeline_bloom: map-side Bloom prune -> anti-join confirm
+    # -> single-pass politeness, BOTH output sides materialized) — the stage
+    # closest to the north-rule metric (URLs scheduled+fetched/sec). The
+    # bloom-less variant and the compute-stage average are reported in the
+    # same table; a headline that averages the workload stage away is not
+    # evidence.
+    summary["headline_efficiency_2_to_8"] = summary["efficiency"]["2->8"][
+        "crawl_pipeline_bloom"
+    ]
     core_qs = ["canonicalize_hash", "extract_pages", "frontier_gen"]
-    summary["headline_efficiency_2_to_8"] = round(
+    summary["compute_stage_efficiency_2_to_8"] = round(
         sum(summary["efficiency"]["2->8"][q] for q in core_qs) / len(core_qs), 3
     )
 
@@ -73,8 +82,14 @@ def main() -> None:
         "at two parallelism levels. Warm measurements (2nd run timed) at",
         "local[2], local[8], local[32]; efficiency = (T_N / T_4N) / 4.",
         "",
-        f"**Headline (N=2 -> 4N=8 cores, compute stages): efficiency "
-        f"**{summary['headline_efficiency_2_to_8']}** (target >= 0.8).**",
+        f"**Headline (N=2 -> 4N=8 cores, crawl_pipeline_bloom — the "
+        f"north-rule workload stage in the engine's configured scale shape: "
+        f"map-side Bloom prune -> exact anti-join confirm -> single-pass "
+        f"politeness, both scheduled AND deferred sides materialized): "
+        f"efficiency **{summary['headline_efficiency_2_to_8']}** "
+        f"(target >= 0.8). Bloom-less pipeline: "
+        f"{summary['efficiency']['2->8']['crawl_pipeline']}; compute-stage "
+        f"average: {summary['compute_stage_efficiency_2_to_8']}.**",
         "",
         "| stage | T@2c (s) | T@8c (s) | T@32c (s) | eff 2->8 | eff 8->32 |",
         "|---|---|---|---|---|---|",
@@ -108,8 +123,9 @@ def main() -> None:
         "extraction in Arrow-batched python workers) keep scaling. A real",
         "cluster adds a memory bus and NICs with every executor — the regime",
         "the 2->8 pair emulates. The engine's shuffle-minimizing design",
-        "(map-side partitioned Bloom via mapInPandas, broadcast robots/exclude",
-        "gates, WindowGroupLimit map-side partial top-k, AQE) exists precisely",
+        "(map-side partitioned Bloom with incremental delta maintenance,",
+        "broadcast robots/exclude gates, single-pass flag-style politeness —",
+        "one exchange, no complement anti-join — and AQE) exists precisely",
         "to keep the scale-limiting exchanges small at 10^10-URL scale.",
         "",
         "Raw JSON:",

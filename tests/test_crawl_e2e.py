@@ -295,6 +295,39 @@ class TestSeedPageNum:
         assert rows["http://h.ex/f?page=3"] == 0  # heuristic: suffix only
 
 
+class TestCliPageNum:
+    def test_query_pager_page_num_drives_src_names(self, spark, tmp_path):
+        """Full CLI path: with a query pager (?page=N) the src-crawler output
+        names must be '{pager_page}-{fileid}.{suffix}' — before the fix every
+        seed re-derived page_num 0 from the URL (no '/pageN' suffix) and the
+        reference's names (pagers.go:49-51) were wrong."""
+        from bbcrawl_spark.__main__ import main
+        from bbcrawl_spark.sources.warehouse import Warehouse
+
+        rows = []
+        for p in (1, 2, 3):
+            url = f"http://gal.example/view?page={p}"
+            html = f'<html><body><img src="/pics/img{p}.jpg"></body></html>'
+            rows.append((url, html.encode()))
+        pages = str(tmp_path / "pages.parquet")
+        spark.createDataFrame(rows, "url string, html binary").write.parquet(pages)
+        wh = str(tmp_path / "wh")
+        rc = main([
+            "--pages", pages, "--warehouse", wh, "--no-follow-links",
+            "--bbcrawl", "-pager", "query", "-start", "1", "-end", "3",
+            "-crawler", "src", "-tags", "img", "http://gal.example/view",
+        ])
+        assert rc == 0
+        w = Warehouse(spark, wh)
+        got = {
+            r["page_url"]: (r["page_num"], r["out_name"])
+            for r in w.read("downloads").collect()
+        }
+        assert got == {
+            f"http://gal.example/view?page={p}": (p, f"{p}-1.jpg") for p in (1, 2, 3)
+        }
+
+
 class TestResume:
     def test_kill_and_resume_identical_final_state(
         self, spark, site, pages_path, tmp_path, want
@@ -306,6 +339,19 @@ class TestResume:
         d2 = _driver(spark, site, pages_path, wh)  # fresh driver resumes
         summary = d2.run()
         assert summary["done"]
+        assert _order(d2) == want.crawl_order
+        assert {r["url_hash"] for r in d2.seen_set().collect()} == want.seen
+
+    def test_kill_and_resume_with_incremental_bloom(
+        self, spark, site, pages_path, tmp_path, want
+    ):
+        """Resume must continue the incremental Bloom chain from the
+        round-log-pinned bloom_dir (manifest pointers across round dirs)."""
+        wh = tmp_path / "whrb"
+        d1 = _driver(spark, site, pages_path, wh, bloom_partitions=4)
+        d1.run(max_rounds=2)
+        d2 = _driver(spark, site, pages_path, wh, bloom_partitions=4)
+        d2.run()
         assert _order(d2) == want.crawl_order
         assert {r["url_hash"] for r in d2.seen_set().collect()} == want.seen
 

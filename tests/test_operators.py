@@ -139,6 +139,21 @@ class TestIncrementalBloom:
         )
         assert got == sorted(f"http://n.ex/{i}" for i in range(200))
 
+    def test_manifestless_prev_dir_refused(self, spark, tmp_path):
+        """Blobs without a manifest must be refused — updating blind would
+        drop the old keys (false negatives)."""
+        import numpy as np
+
+        d0, d1 = str(tmp_path / "r0"), str(tmp_path / "r1")
+        import os
+
+        os.makedirs(d0)
+        np.save(os.path.join(d0, "bloom_00000.npy"), np.zeros(8, dtype=np.uint8))
+        with pytest.raises(ValueError, match="no manifest"):
+            dedup.update_partitioned_bloom(
+                _url_df(spark, ["http://x.ex/1"]), d0, d1, self.P
+            )
+
     def test_rebuild_without_seen_full_raises(self, spark, tmp_path):
         d0, d1 = str(tmp_path / "r0"), str(tmp_path / "r1")
         small = [f"http://s.ex/{i}" for i in range(24)]
