@@ -4,15 +4,21 @@
 Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32):
 
-  frontier_gen      pure-codegen frontier generation + hash (5M urls)
-  crawl_pipeline    the crawl-round relational core at ~10x orders scale:
-                    urls -> seen anti-join -> salted politeness -> schedule
-  bloom_roundtrip   partitioned-Bloom build + map-side membership pass
-  extract_pages     Arrow-batched html text+link extraction (board-site)
-  exact_dedup_docs  hash-window dedup over documents
-  minhash_dedup     MinHash+LSH near-dup dedup over documents
-  ngram_jaccard     exact shingle-join Jaccard pairs over documents
-  embedding_knn     brute-force cosine top-10, 5 queries x all embeddings
+  frontier_gen           pure-codegen frontier generation + hash (5M urls)
+  crawl_pipeline         the crawl-round relational core at ~10x orders
+                         scale: urls -> seen anti-join -> single-pass
+                         politeness -> BOTH sides materialized
+  bloom_roundtrip        partitioned-Bloom build + map-side membership pass
+  extract_pages          Arrow-batched html text+link extraction (board-site)
+  exact_dedup_docs       hash-window dedup over documents
+  minhash_dedup          MinHash+LSH near-dup dedup over documents
+  minhash_signatures     the vectorized signature kernel alone
+  ngram_jaccard          exact shingle-join Jaccard pairs over documents
+  embedding_knn          brute-force cosine top-10, 5 queries x embeddings
+  bloom_full_rebuild_20m / bloom_incr_update_20m
+                         one round of seen-Bloom maintenance at 20M keys:
+                         the round-1 full rebuild vs the round-2 incremental
+                         delta update (cost ∝ |seen_new|)
 
 Output: {"metric": "frontier URLs scheduled/sec (crawl_pipeline)",
          "value": <total headline seconds>, "unit": "sec",

@@ -121,6 +121,75 @@ class TestBloomProperties:
         assert fpp < 0.05  # 10 bits/key, 7 hashes -> ~0.8% expected
 
 
+class TestIncrementalBloomLaws:
+    """Numpy-level laws of the OR-in update path (no Spark — the distributed
+    wrapper is covered in test_operators): ORing new keys into an existing
+    blob is exactly equivalent to building from the union."""
+
+    @given(
+        st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=300, unique=True),
+        st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=300, unique=True),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_or_in_equals_union_build(self, old_keys, new_keys):
+        from bbcrawl_spark.operators.dedup import _bloom_positions
+
+        old = np.array(old_keys, dtype=np.int64)
+        new = np.array([k for k in new_keys if k not in set(old_keys)], dtype=np.int64)
+        if len(new) == 0:
+            return
+        blob = _build_blob(old, 10, 7).copy()
+        u = new.astype(np.uint64)
+        for pos in _bloom_positions(u, len(blob) * 8, 7):
+            np.bitwise_or.at(blob, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        both = np.concatenate([old, new])
+        # zero false negatives over the union after OR-in
+        assert _check_blob(both, blob, 7).all()
+        # and bit-identical to inserting the union into a same-sized blob
+        m_bits = len(blob) * 8
+        ref = np.zeros_like(blob)
+        ub = both.astype(np.uint64)
+        for pos in _bloom_positions(ub, m_bits, 7):
+            np.bitwise_or.at(ref, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        assert np.array_equal(blob, ref)
+
+
+class TestBatchHashLaws:
+    """Laws of the vectorized signature hash: values must not depend on the
+    batch a string arrives in (minhash/simhash reduceat grouping relies on
+    this), and the family must be seeded-deterministic and well-spread."""
+
+    @given(st.lists(st.text(min_size=0, max_size=90), min_size=1, max_size=60))
+    @settings(max_examples=100, deadline=None)
+    def test_batch_composition_invariant(self, strs):
+        from bbcrawl_spark.operators.textops import _hash_strings_np
+
+        whole = _hash_strings_np(strs)
+        split = np.concatenate(
+            [_hash_strings_np(strs[:1]), _hash_strings_np(strs[1:])]
+        ) if len(strs) > 1 else _hash_strings_np(strs)
+        assert np.array_equal(whole, split)
+        assert np.array_equal(whole, _hash_strings_np(list(strs)))
+
+    def test_spread_and_distinct(self):
+        from bbcrawl_spark.operators.textops import _hash_strings_np
+
+        strs = [f"tok{i} gram{i % 7}" for i in range(20000)]
+        h = _hash_strings_np(strs)
+        assert len(np.unique(h)) == len(strs)  # no collisions on this set
+        # bits look uniform-ish: each of the 64 bit positions near 50% set
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).mean(0)
+        assert (np.abs(bits - 0.5) < 0.05).all()
+
+    def test_long_strings_fold_not_truncate(self):
+        from bbcrawl_spark.operators.textops import _hash_strings_np
+
+        a = "x" * 64 + "tail-one"
+        b = "x" * 64 + "tail-two"
+        ha, hb = _hash_strings_np([a, b])
+        assert ha != hb  # bytes past the packed width still influence the hash
+
+
 class TestAttrsTokenizerLaws:
     @given(st.lists(st.from_regex(r"[a-z0-9 ]{1,6}", fullmatch=True), min_size=1, max_size=5))
     @settings(max_examples=200, deadline=None)
