@@ -471,6 +471,42 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_features(media)
 
 
+def q_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only evidence of the incremental seen-Bloom maintenance: build
+    over a base set, OR-in a delta, and report the per-partition operation
+    mix plus a zero-false-negative check (must be 0) — all deterministic
+    given the sf tables."""
+    import tempfile
+
+    from bbcrawl_spark.operators import dedup
+
+    u = _events_urls(spark, sf_dir).select(
+        "event_id", udfs.url_hash_col("url").alias("url_hash")
+    )
+    # small delta (~6% of events) confined to bloom partitions 0-1 so the
+    # result exercises BOTH the OR-in update and the pointer-carry paths
+    # without overflowing the pow2 fill headroom
+    base = u.filter(F.col("event_id") % 16 != 0).select("url_hash").distinct()
+    delta = (
+        u.filter((F.col("event_id") % 16 == 0) & (F.pmod("url_hash", F.lit(8)) < 2))
+        .select("url_hash")
+        .distinct()
+        .join(base, "url_hash", "left_anti")
+    )
+    tmp = tempfile.mkdtemp(prefix="bloom_incr_entry_")
+    d0, d1 = f"{tmp}/r0", f"{tmp}/r1"
+    dedup.build_partitioned_bloom(base, d0, num_partitions=8)
+    stats = dedup.update_partitioned_bloom(
+        delta, d0, d1, 8, seen_full=base.unionByName(delta)
+    )
+    spec = dedup.BloomSpec(d1, 8)
+    flagged = dedup.bloom_maybe_seen(base.unionByName(delta), spec)
+    n_fn = flagged.filter("NOT maybe_seen").count()  # bloom law: must be 0
+    rows = [(f"n_{op}", len(pids)) for op, pids in sorted(stats.items())]
+    rows.append(("n_false_negatives", n_fn))
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
 def q_crawl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multi-round crawl over the deterministic board-site fixture
     (rows-only: the equivalence gate lives in tests/test_crawl_e2e.py)."""
@@ -537,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_knn": q_ann_ivf_knn,
         "ann_recall": q_ann_recall,
         "multimodal_features": q_multimodal_features,
+        "bloom_incremental": q_bloom_incremental,
         "crawl_roundtrip": q_crawl_roundtrip,
     }
 
