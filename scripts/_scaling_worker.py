@@ -17,7 +17,10 @@ import time
 CORES = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 
 N_REGEX = 80_000_000
-N_FRONTIER = 60_000_000
+# large enough that the ~0.5s fixed job overhead is <2% of the 2-core time —
+# at 60M the stage ran ~3s at 2 cores and the overhead masqueraded as poor
+# scaling (0.65 measured for a pure-codegen map stage)
+N_FRONTIER = 240_000_000
 N_PIPELINE = 12_000_000
 PAGE_MULT = 8_000  # x 66 fixture pages ~= 528k pages
 
