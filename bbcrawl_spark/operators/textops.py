@@ -470,11 +470,14 @@ def simhash_udf(text: pd.Series) -> pd.Series:
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
         np.int32
     )  # (T, 64)
-    # reduceat quirk: empty segments return the NEXT doc's first row and a
-    # trailing empty segment would index past the end — clamp, then zero out
-    # empty docs explicitly.
+    # reduceat quirks: a trailing offset == len raises, and clamping it would
+    # silently truncate the PRECEDING doc's segment (its last token's votes
+    # dropped — batch-boundary-dependent simhash). Append one zero row so raw
+    # offsets up to len(all_toks) are valid; empty segments still return the
+    # row AT their offset, but those docs are zeroed out below.
     offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    sums = np.add.reduceat(bits, np.minimum(offsets, len(all_toks) - 1), axis=0)
+    bits = np.vstack([bits, np.zeros((1, 64), dtype=np.int32)])
+    sums = np.add.reduceat(bits, offsets, axis=0)
     votes = 2 * sums - counts[:, None]  # (D, 64)
     words = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
         axis=1

@@ -177,6 +177,23 @@ class TestSimHash:
         a, b = [r[0] for r in df.select(textops.simhash_udf("text")).collect()]
         assert a != b
 
+    def test_simhash_batch_boundary_invariant(self):
+        # Regression: a trailing empty doc used to CLAMP the reduceat offset,
+        # truncating the PRECEDING doc's last token's bit votes — the simhash
+        # depended on where the Arrow batch ended. Exercise the raw kernel.
+        import pandas as pd
+
+        fn = textops.simhash_udf.func
+        doc = "hello world foo bar"
+        alone = fn(pd.Series([doc])).iloc[0]
+        with_trailing_empty = fn(pd.Series([doc, ""])).iloc[0]
+        with_two_empties = fn(pd.Series([doc, "", "   "])).iloc[0]
+        assert alone == with_trailing_empty == with_two_empties
+        # empty docs themselves hash to 0, and docs AFTER an empty are intact
+        out = fn(pd.Series(["", doc, "", doc]))
+        assert out.iloc[0] == 0 and out.iloc[2] == 0
+        assert out.iloc[1] == alone and out.iloc[3] == alone
+
 
 class TestSimilarity:
     def test_brute_force_self_nearest(self, spark, emb):
