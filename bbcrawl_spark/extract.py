@@ -78,7 +78,17 @@ def extract_vb_attachments(
     headernames, the "{postid}-{attid}" prefix completed after download
     (afterdownload.go:27-46).
     """
-    doc = htmlkit.parse_html(html_text)
+    return extract_vb_attachments_from_doc(
+        htmlkit.parse_html(html_text), page_url, headernames
+    )
+
+
+def extract_vb_attachments_from_doc(
+    doc: Node, page_url: str, headernames: bool = False
+) -> list[ExtractedFile]:
+    """Tree-level core of :func:`extract_vb_attachments` — lets the fused
+    extraction UDF parse each page ONCE and run text/links/downloads walks
+    over the same tree."""
     posts_root = htmlkit.element_by_id(doc, "posts")
     if posts_root is None:
         return []
@@ -173,8 +183,21 @@ def extract_srcs(
     """Mirror of ``SrcCrawler.Crawl``: img -> src; audio/video -> scrapeAV
     (root src + child source/track srcs; 1 source = flat file, >1 =
     "{page}-{fileid}/" subdir with avTag-dedup'd names)."""
+    return extract_srcs_from_doc(
+        htmlkit.parse_html(html_text), page_url, page_num, tags, attrs
+    )
+
+
+def extract_srcs_from_doc(
+    doc: Node,
+    page_url: str,
+    page_num: int,
+    tags: tuple[str, ...] = SRC_TAGS,
+    attrs: list[tuple[str, str]] | None = None,
+) -> list[ExtractedFile]:
+    """Tree-level core of :func:`extract_srcs` (see
+    :func:`extract_vb_attachments_from_doc`)."""
     attrs = attrs or []
-    doc = htmlkit.parse_html(html_text)
     fileid = _FileId()
     out: list[ExtractedFile] = []
     nodes = htmlkit.elements_by_tag(doc, *[t for t in tags if t in SRC_TAGS])
@@ -313,7 +336,12 @@ def extract_text(html_text: str) -> str:
     walkTree DFS document order, skipping script/style subtrees. This IS the
     byte-identical text contract (north_star) — pinned by golden fixtures
     and shared verbatim between the Spark UDF and the oracle."""
-    doc = htmlkit.parse_html(html_text)
+    return extract_text_from_doc(htmlkit.parse_html(html_text))
+
+
+def extract_text_from_doc(doc: Node) -> str:
+    """Tree-level core of :func:`extract_text` (see
+    :func:`extract_vb_attachments_from_doc`)."""
     parts: list[str] = []
 
     # manual walk so script/style subtrees are skipped without aborting
@@ -341,7 +369,12 @@ def extract_links(html_text: str, page_url: str) -> list[ExtractedLink]:
     """All <a href> links in document order, resolved with the reference's
     rel2abs semantics — frontier growth for the crawl loop (graft; the
     reference generates next pages via pagers instead of extracting them)."""
-    doc = htmlkit.parse_html(html_text)
+    return extract_links_from_doc(htmlkit.parse_html(html_text), page_url)
+
+
+def extract_links_from_doc(doc: Node, page_url: str) -> list[ExtractedLink]:
+    """Tree-level core of :func:`extract_links` (see
+    :func:`extract_vb_attachments_from_doc`)."""
     out: list[ExtractedLink] = []
     for a in htmlkit.elements_by_tag(doc, "a"):
         href = htmlkit.attr_val(a, "href")
@@ -374,11 +407,11 @@ def header_filename(header: str | None) -> tuple[str, str]:
     disposition header field found"; matched-but-bad -> "malformed filename".
     Column twin: functions.udfs.header_filename_col (parity pinned).
     """
-    field_match = None
+    field_match = raw_field = None
     for fld in (header or "").split(";"):
         t = fld.strip()
         if t.startswith('filename="'):
-            field_match = t
+            field_match, raw_field = t, fld
             break
     if field_match is None:
         return "", NO_HEADER_FIELD_ERR
@@ -389,7 +422,10 @@ def header_filename(header: str | None) -> tuple[str, str]:
         if "/" in name:
             name = ""
     if name == "":
-        return "", f"malformed filename in Content-disposition header: {field_match}"
+        # reference parity: the error formats the UNTRIMMED field
+        # (downloader.go:133 uses `field`, not `trimmedfield`) — Go emits
+        # e.g. 'malformed ... header:  filename="a=b"' with the leading space
+        return "", f"malformed filename in Content-disposition header: {raw_field}"
     return name, ""
 
 

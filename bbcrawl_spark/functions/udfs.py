@@ -27,7 +27,7 @@ from pyspark.sql.types import (
 )
 
 from .. import extract, urlkit
-from ..htmlkit import decode_html
+from ..htmlkit import decode_html, parse_html
 
 # ---------------------------------------------------------------------------
 # Column-expression builders (pure JVM, no Python)
@@ -248,6 +248,82 @@ def make_extract_srcs_udf(tags: tuple[str, ...] = extract.SRC_TAGS,
     return extract_srcs_udf
 
 
+#: fused per-page extraction result: ONE decode + ONE parse feeds all three
+#: consumers (text sink, frontier link growth, crawler-family downloads)
+PAGE_EXTRACT_SCHEMA = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("links", LINK_SCHEMA),
+        StructField("files", EXTRACTED_FILE_SCHEMA),
+    ]
+)
+
+
+def make_extract_fused_udf(
+    crawler: str = "",
+    headernames: bool = False,
+    tags: tuple[str, ...] = extract.SRC_TAGS,
+    attrs: list[tuple[str, str]] | None = None,
+    want_text: bool = True,
+    want_links: bool = True,
+):
+    """Fused page extraction: decode + parse each fetched page ONCE, then run
+    the text / link / download walks over the same tree.
+
+    The round loop previously invoked ``extract_text_udf``,
+    ``extract_links_udf`` and the crawler-family UDF as three separate
+    ArrowEvalPython stages — each re-decoding and re-parsing the same HTML
+    blob. Parsing dominates extraction CPU, so at 100 TB that tripled the
+    hottest stage. One struct-returning UDF consumed by three selects keeps
+    the outputs identical at a single parse.
+
+    ``crawler`` selects the downloads walk ('' / 'file' -> none here — the
+    file crawler derives downloads from the frontier row itself, see
+    plans/round.py); ``want_text``/``want_links`` skip walks no sink consumes.
+    """
+
+    def _files(doc, u, p) -> list[dict]:
+        if crawler == "vb-attachments":
+            return _rows(
+                extract.extract_vb_attachments_from_doc(doc, u, headernames=headernames)
+            )
+        if crawler == "src":
+            return _rows(extract.extract_srcs_from_doc(doc, u, int(p), tags, attrs))
+        return []
+
+    def _links(doc, u) -> list[dict]:
+        return [
+            {
+                "link": l.link,
+                "abs_url": l.abs_url,
+                "element_index": l.element_index,
+                "anchor_text": l.anchor_text,
+            }
+            for l in extract.extract_links_from_doc(doc, u)
+        ]
+
+    @pandas_udf(PAGE_EXTRACT_SCHEMA)
+    def extract_fused(
+        html: pd.Series, url: pd.Series, page_num: pd.Series, content_type: pd.Series
+    ) -> pd.DataFrame:
+        texts: list[str] = []
+        links: list[list] = []
+        files: list[list] = []
+        for b, u, p, ct in zip(html, url, page_num, content_type):
+            if b is None:
+                texts.append("")
+                links.append([])
+                files.append([])
+                continue
+            doc = parse_html(decode_html(bytes(b), ct or CT_DEFAULT))
+            texts.append(extract.extract_text_from_doc(doc) if want_text else "")
+            links.append(_links(doc, u) if want_links else [])
+            files.append(_files(doc, u, p))
+        return pd.DataFrame({"text": texts, "links": links, "files": files})
+
+    return extract_fused
+
+
 # F9: Content-Disposition filename — pure column expressions with exact
 # NameFromHeader parity (downloader.go:121-143, 319-340):
 #   * header value split on ';', each field whitespace-trimmed,
@@ -258,14 +334,22 @@ def make_extract_srcs_udf(tags: tuple[str, ...] = extract.SRC_TAGS,
 # Python twin: extract.header_filename (parity pinned in tests).
 
 
+def header_filename_raw_field_col(header: Column | str) -> Column:
+    """The matched ``filename="...`` field UNTRIMMED, NULL when absent.
+    Reference error parity: the malformed-filename message formats the raw
+    field (downloader.go:133 uses ``field``, not ``trimmedfield``), leading
+    whitespace included."""
+    header = F.col(header) if isinstance(header, str) else header
+    fields = F.split(F.coalesce(header, F.lit("")), ";")
+    matches = F.filter(fields, lambda f: F.trim(f).startswith('filename="'))
+    return F.get(matches, 0)
+
+
 def header_filename_field_col(header: Column | str) -> Column:
     """The matched (trimmed) ``filename="...`` field, NULL when the header
     is NULL/empty or carries no such field — drives the reference's two
     distinct error messages."""
-    header = F.col(header) if isinstance(header, str) else header
-    fields = F.split(F.coalesce(header, F.lit("")), ";")
-    matches = F.filter(fields, lambda f: F.trim(f).startswith('filename="'))
-    return F.trim(F.get(matches, 0))
+    return F.trim(header_filename_raw_field_col(header))
 
 
 def header_filename_col(header: Column | str) -> Column:

@@ -148,10 +148,16 @@ def build_partitioned_bloom(
     Returns the manifest DataFrame ``(partition_id int, n_items long,
     m_bits long)`` (already materialized; the write happens inside the
     grouped UDF).
+
+    Blobs always land at the dir-local ``bloom_{pid}.npy`` paths — NEVER
+    resolved through a pre-existing manifest. An update-produced manifest's
+    entries forward to earlier rounds' dirs; writing through those pointers
+    would silently overwrite older rounds' blob files and corrupt their
+    bloom state. A rebuild into such a dir therefore replaces the manifest
+    with local paths and leaves every pointed-at dir untouched.
     """
     os.makedirs(path, exist_ok=True)
-    spec = BloomSpec(path, num_partitions)
-    k = spec.num_hashes
+    k = _NUM_HASHES
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one task owns whole bloom partitions (explicit repartition on the
@@ -166,7 +172,7 @@ def build_partitioned_bloom(
         for pid, chunks in buckets.items():
             hashes = np.concatenate(chunks)
             bitmap = _build_blob(hashes, bits_per_key, k)
-            np.save(spec.blob_path(pid), bitmap)
+            np.save(_default_blob_path(path, pid), bitmap)
             rows.append((pid, len(hashes), len(bitmap) * 8))
         yield pd.DataFrame(rows, columns=["partition_id", "n_items", "m_bits"])
 
@@ -187,7 +193,7 @@ def build_partitioned_bloom(
         path,
         {
             int(r["partition_id"]): {
-                "path": spec.blob_path(int(r["partition_id"])),
+                "path": _default_blob_path(path, int(r["partition_id"])),
                 "n_items": int(r["n_items"]),
                 "m_bits": int(r["m_bits"]),
             }

@@ -87,6 +87,21 @@ def rank_fetch_slots(
         ``salt_partitions``: a salted pre-rank cannot produce exact global
         ranks beyond the budget without re-ranking everything, and silently
         wrong ranks in (budget, S·B] are worse than a full sort.
+      'broadcast_topk' — the wide frontier NEVER shuffles. The rank runs over
+        a narrow projection (host + order cols, ~40 bytes/row vs the full
+        frontier row) and ``row_number() <= budget`` compiles to
+        WindowGroupLimit, whose map-side Partial phase forwards at most
+        budget rows per host per input partition into the exchange. The
+        surviving ≤ hosts×budget (url_hash, rank) pairs broadcast back onto
+        the frontier as a map-side hash join. Exchange bytes drop from
+        O(|frontier| × row_width) to O(mappers × hosts × budget × 40B).
+        Requires ``key_col`` unique across the frontier (true after the
+        url_hash dedup) and hosts×budget small enough to broadcast —
+        ~10^6 hosts at budget 5 is ~50 MB, fine; beyond that use
+        'single_pass', which holds at any host count. Ignores
+        ``salt_partitions``: WindowGroupLimit's partial phase already caps
+        what a hot host can push into the exchange at budget×mappers rows,
+        which is the same defense salting buys the sort.
 
     The scheduled set and its ranks are provably identical in all modes —
     asserted by tests.
@@ -176,6 +191,39 @@ def rank_fetch_slots(
             )
         )
         return out.drop("_salt", "_r1", "_h2", "_r2")
+
+    if mode == "broadcast_topk":
+        narrow_cols = [host_col] + [c for c in order_cols if c != host_col]
+        if key_col not in narrow_cols:
+            narrow_cols.append(key_col)
+        topb = (
+            frontier.select(*narrow_cols)
+            .withColumn("_rn", rank)
+            .filter(F.col("_rn") <= budget)  # -> WindowGroupLimit (partial)
+            .select(F.col(key_col).alias("_k"), "_rn")
+        )
+        joined = frontier.join(
+            F.broadcast(topb), frontier[key_col] == topb["_k"], "left"
+        )
+        r = F.col("_rn")
+        sched = r.isNotNull()
+        return (
+            joined.withColumn(
+                "fetch_rank", F.when(sched, r).otherwise(F.lit(0)).cast("int")
+            )
+            .withColumn("scheduled", sched)
+            .withColumn(
+                "slot",
+                F.when(sched, ((r - 1) % concurrency)).otherwise(F.lit(-1)).cast("int"),
+            )
+            .withColumn(
+                "wave",
+                F.when(sched, F.floor((r - 1) / concurrency))
+                .otherwise(F.lit(-1))
+                .cast("int"),
+            )
+            .drop("_k", "_rn")
+        )
 
     if mode == "group_limit":
         pre = frontier

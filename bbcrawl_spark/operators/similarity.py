@@ -161,12 +161,19 @@ def train_ivf_centroids(
     """
     n = corpus.count()
     step = max(1, n // max_sample)
+    # pmod: negative ids stride correctly; sparse/offset id spaces can still
+    # dodge the stride entirely, so an undersized sample falls back to the
+    # deterministic first-max_sample rows (TakeOrdered — no full sort)
     rows = (
-        corpus.filter(F.col(id_col) % step == 0)
+        corpus.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
         .orderBy(id_col)
         .select(vec_col)
         .collect()
     )
+    if len(rows) < n_centroids:
+        rows = corpus.orderBy(id_col).limit(max_sample).select(vec_col).collect()
+    if not rows:  # empty corpus: data-independent seeded codebook
+        return _seed_centroids(dim, n_centroids, seed)
     m = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

@@ -39,13 +39,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.udfs import (
-    extract_links_udf,
-    extract_text_udf,
     header_filename_col,
     header_filename_field_col,
+    header_filename_raw_field_col,
     host_of,
-    make_extract_srcs_udf,
-    make_extract_vb_udf,
+    make_extract_fused_udf,
     url_hash_col,
 )
 from .. import extract as extract_mod
@@ -155,6 +153,7 @@ def complete_headernames(downloads: DataFrame, pages: DataFrame) -> DataFrame:
     cols = downloads.columns
     joined = downloads.join(hdrs, "abs_url", "left")
     field = header_filename_field_col("_cd")
+    raw_field = header_filename_raw_field_col("_cd")
     name = header_filename_col("_cd")
     had_err = F.col("err") != ""
     err = (
@@ -162,8 +161,10 @@ def complete_headernames(downloads: DataFrame, pages: DataFrame) -> DataFrame:
         .when(field.isNull(), F.lit(extract_mod.NO_HEADER_FIELD_ERR))
         .when(
             name == "",
+            # UNTRIMMED field in the message (downloader.go:133 parity)
             F.concat(
-                F.lit("malformed filename in Content-disposition header: "), field
+                F.lit("malformed filename in Content-disposition header: "),
+                raw_field,
             ),
         )
         .otherwise(F.lit(""))
@@ -281,16 +282,32 @@ class CrawlDriver:
             joined = joined.filter(
                 F.col("n_redirects") <= (10 if cfg.allow_redirect else 0)
             )
-        # persist: fetched feeds text output, link extraction AND metrics —
-        # without it the pages join + Arrow extraction would re-run per sink
-        fetched = joined.persist()
+        # Fused extraction: ONE ArrowEvalPython stage decodes + parses each
+        # page once and emits struct(text, links, files); the text sink, the
+        # frontier link growth and the crawler-family downloads are three
+        # selects over the SAME persisted result (pre-fusion each ran its own
+        # UDF = 2-3 decode+parse passes per page — the dominant 100-TB CPU
+        # multiplier). html is dropped before the persist: nothing downstream
+        # needs the raw blob once _ex is computed.
         ct = F.col("content_type") if has_ct else F.lit("text/html; charset=utf-8")
+        fused = make_extract_fused_udf(
+            cfg.crawler,
+            cfg.headernames,
+            cfg.tags,
+            list(cfg.attrs) or None,
+            want_links=cfg.follow_links,
+        )
+        fetched = (
+            joined.withColumn("_ex", fused("html", "url", "page_num", ct))
+            .drop("html")
+            .persist()
+        )
         fetched_out = fetched.select(
             F.lit(r).alias("round"),
             "url",
             "url_hash",
             "host",
-            extract_text_udf("html", ct).alias("text"),
+            F.col("_ex.text").alias("text"),
         )
 
         seen_new = scheduled.select("url_hash")
@@ -298,7 +315,7 @@ class CrawlDriver:
             links = fetched.select(
                 F.col("url").alias("page_url"),
                 F.col("seed_id"),
-                F.explode(extract_links_udf("html", "url", ct)).alias("l"),
+                F.explode("_ex.links").alias("l"),
             ).select("page_url", "seed_id", F.col("l.abs_url").alias("url"))
             new_entries = links.select(
                 "url",
@@ -318,21 +335,13 @@ class CrawlDriver:
 
         # --- crawler-family downloads (the reference's primary output) ----
         downloads = None
-        if cfg.crawler == "vb-attachments":
-            ex = make_extract_vb_udf(cfg.headernames)("html", "url", ct)
+        if cfg.crawler in ("vb-attachments", "src"):
             downloads = fetched.select(
                 F.lit(r).alias("round"), F.col("url").alias("page_url"),
-                "page_num", F.explode(ex).alias("f"),
+                "page_num", F.explode("_ex.files").alias("f"),
             ).select("round", "page_url", "page_num", "f.*")
-            if cfg.headernames:
+            if cfg.crawler == "vb-attachments" and cfg.headernames:
                 downloads = complete_headernames(downloads, pages)
-        elif cfg.crawler == "src":
-            src_udf = make_extract_srcs_udf(cfg.tags, list(cfg.attrs) or None)
-            downloads = fetched.select(
-                F.lit(r).alias("round"), F.col("url").alias("page_url"),
-                "page_num",
-                F.explode(src_udf("html", "url", "page_num", ct)).alias("f"),
-            ).select("round", "page_url", "page_num", "f.*")
         elif cfg.crawler == "file":
             # every frontier url IS the download (crawlers.go:191-212)
             downloads = scheduled.select(
@@ -457,11 +466,63 @@ class CrawlDriver:
         return self._pinned(self.wh.last_committed_round(), table)
 
     def crawl_order(self) -> DataFrame:
-        """Exact global crawl order (W2): (rank, round, url)."""
-        w = Window.orderBy("round", "priority", "page_num", "url_hash")
-        return self._last("fetch_log").select(
-            F.row_number().over(w).alias("rank"), "round", "url",
-            "priority", "page_num", "url_hash",
+        """Exact global crawl order (W2): (rank, round, url).
+
+        Scalable global numbering — the former ``Window.orderBy`` with no
+        partition key forced every fetch_log row through ONE task (the
+        driver-bottleneck shape the engine bans; dead at 10^10 rows). Now:
+        range-partition + sort within partitions (a normal parallel sort),
+        take per-partition counts (one tiny agg — P rows to the driver),
+        and add each partition's cumulative offset to a per-partition local
+        row number computed by a streaming ``mapInPandas`` counter (no
+        further exchange; batch order inside a partition is the sorted
+        order). ``localCheckpoint`` pins the sorted layout so the count and
+        numbering passes see identical partitions; its blocks free on GC.
+        """
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        keys = ["round", "priority", "page_num", "url_hash"]
+        base = self._last("fetch_log").select(
+            "round", "url", "priority", "page_num", "url_hash"
+        )
+        ranged = (
+            base.repartitionByRange(*[F.col(k) for k in keys])
+            .sortWithinPartitions(*keys)
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
+        counts = {
+            r["_pid"]: r["n"]
+            for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_map = (
+            F.create_map(
+                *[x for p, o in offsets.items() for x in (F.lit(p), F.lit(o))]
+            )
+            if offsets
+            else F.create_map()
+        )
+        schema = StructType(
+            list(ranged.schema.fields) + [StructField("_lrn", LongType())]
+        )
+
+        def _number(batches):
+            i = 0
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["_lrn"] = range(i + 1, i + 1 + len(pdf))
+                i += len(pdf)
+                yield pdf
+
+        return ranged.mapInPandas(_number, schema).select(
+            (F.coalesce(off_map[F.col("_pid")], F.lit(0)) + F.col("_lrn"))
+            .cast("int")
+            .alias("rank"),
+            "round", "url", "priority", "page_num", "url_hash",
         )
 
     def seen_set(self) -> DataFrame:

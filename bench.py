@@ -9,7 +9,11 @@ Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
                          scale: urls -> seen anti-join -> single-pass
                          politeness -> BOTH sides materialized
   bloom_roundtrip        partitioned-Bloom build + map-side membership pass
-  extract_pages          Arrow-batched html text+link extraction (board-site)
+  extract_pages          Arrow-batched html text+link extraction, SPLIT UDFs
+                         (one decode+parse per consumer — the pre-round-3
+                         shape, kept as the comparison row)
+  extract_fused          fused text+links extraction (one decode+parse per
+                         page — what the round loop runs)
   exact_dedup_docs       hash-window dedup over documents
   minhash_dedup          MinHash+LSH near-dup dedup over documents
   minhash_signatures     the vectorized signature kernel alone
@@ -157,6 +161,23 @@ def main() -> None:
     timed("extract_pages", extract_pages)
     extras["n_pages_extracted"] = n_pages
     extras["extract_pages_per_sec"] = round(n_pages / timings["extract_pages"], 1)
+
+    # fused extraction (what the round loop now runs): ONE decode+parse per
+    # page feeding text AND links — vs extract_pages' two separate UDFs
+    def extract_fused():
+        ct = F.lit(udfs.CT_DEFAULT)
+        fused = udfs.make_extract_fused_udf("")
+        out = pages_df.select(
+            fused("html", "url", F.lit(0), ct).alias("_ex")
+        ).select(
+            F.length("_ex.text").alias("tl"), F.size("_ex.links").alias("n_links")
+        )
+        assert out.agg(F.sum("n_links")).first()[0] > 0
+    timed("extract_fused", extract_fused)
+    extras["extract_fused_pages_per_sec"] = round(n_pages / timings["extract_fused"], 1)
+    extras["extract_fused_speedup_vs_split"] = round(
+        timings["extract_pages"] / max(timings["extract_fused"], 1e-9), 2
+    )
     pages_df.unpersist()
 
     # --- corpus ops over the sf tables -------------------------------------
@@ -235,19 +256,34 @@ def main() -> None:
         "cpus": CPUS,
         **extras,
     }
-    # attach the latest N->4N scaling evidence (scripts/scaling_bench.py
-    # writes BENCH.md with a raw-JSON tail; full rerun takes ~20 min so it
-    # is not recomputed per bench invocation)
-    bench_md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    # N->4N scaling evidence (scripts/scaling_bench.py writes BENCH.md with a
+    # raw-JSON tail; full rerun takes ~20 min so it is not recomputed per
+    # bench invocation). Round-2 lesson: embedding the whole blob overflowed
+    # the driver's tail capture and made the bench line unparseable — only
+    # compact headline scalars go inline; the full detail lands in
+    # BENCH_SCALING.json next to this script.
+    here = os.path.dirname(os.path.abspath(__file__))
+    bench_md = os.path.join(here, "BENCH.md")
     if os.path.exists(bench_md):
         try:
             tail = open(bench_md).read().rsplit("```json", 1)[1].split("```")[0]
             scaling = json.loads(tail)
-            out["scaling"] = {
-                "headline_efficiency_N2_to_4N8": scaling.get("headline_efficiency_2_to_8"),
-                "per_stage_efficiency": scaling.get("efficiency"),
-                "throughput_by_cores": scaling.get("throughput"),
-            }
+            with open(os.path.join(here, "BENCH_SCALING.json"), "w") as fh:
+                json.dump(
+                    {
+                        "headline_efficiency_N2_to_4N8": scaling.get(
+                            "headline_efficiency_2_to_8"
+                        ),
+                        "per_stage_efficiency": scaling.get("efficiency"),
+                        "throughput_by_cores": scaling.get("throughput"),
+                    },
+                    fh,
+                    indent=1,
+                )
+            out["scaling_headline_eff_N2_to_4N8"] = scaling.get(
+                "headline_efficiency_2_to_8"
+            )
+            out["scaling_detail_file"] = "BENCH_SCALING.json"
         except Exception:
             pass
     print(json.dumps(out))

@@ -71,6 +71,13 @@ class TestCrawlEquivalence:
     def test_crawl_order_matches_oracle(self, run, want):
         assert _order(run[0]) == want.crawl_order
 
+    def test_crawl_order_plan_has_no_global_window(self, run):
+        # the former implementation ranked with Window.orderBy(...) and NO
+        # partition key — every fetch_log row through one task; dead at scale
+        plan = run[0].crawl_order()._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        assert "SinglePartition" not in plan, plan
+
     def test_seen_set_matches_oracle(self, run, want):
         got_seen = {r["url_hash"] for r in run[0].seen_set().collect()}
         assert got_seen == want.seen

@@ -228,3 +228,76 @@ class TestFileCrawlerName:
         # trailing-slash path -> no name -> "{id}.download" (downloader.go:261-264)
         assert extract.file_crawler_name("http://h/a/", 7, dl_id=42) == "42.download"
         assert extract.file_crawler_name("http://h/a/", 7) == ""
+
+
+class TestFusedExtraction:
+    """Round-3 fusion: ONE decode+parse per page feeds text, links AND
+    downloads. Consumers of the persisted fused result must read the cache
+    (InMemoryTableScan), never re-enter Python (no ArrowEvalPython)."""
+
+    def test_one_parse_feeds_all_consumers(self, spark):
+        from pyspark.sql import functions as F
+
+        from bbcrawl_spark.functions.udfs import CT_DEFAULT, make_extract_fused_udf
+
+        page_url = "http://forum.example:8080/t/1"
+        df = spark.createDataFrame(
+            [(page_url, bytearray(VB4_PAGE.encode("utf-8")), 1)],
+            "url string, html binary, page_num int",
+        )
+        fused = make_extract_fused_udf("vb-attachments")
+        fetched = (
+            df.withColumn("_ex", fused("html", "url", "page_num", F.lit(CT_DEFAULT)))
+            .drop("html")
+            .persist()
+        )
+        try:
+            fetched.count()  # cache fill = the single parse
+            texts = fetched.select(F.col("_ex.text").alias("text"))
+            links = fetched.select(F.explode("_ex.links").alias("l")).select("l.*")
+            files = fetched.select(F.explode("_ex.files").alias("f")).select("f.*")
+            for consumer in (texts, links, files):
+                plan = consumer._jdf.queryExecution().executedPlan().toString()
+                # everything ABOVE the cache boundary must be Python-free
+                # (the InMemoryTableScan node prints the cached relation's
+                # defining plan below it, which holds the ONE ArrowEvalPython)
+                above_cache = plan.split("InMemoryTableScan")[0]
+                assert "InMemoryTableScan" in plan, plan
+                assert "ArrowEvalPython" not in above_cache, plan
+                assert plan.count("ArrowEvalPython") <= 1, plan
+            # outputs identical to the split pure extractors
+            assert texts.first()["text"] == extract.extract_text(VB4_PAGE)
+            want_files = [
+                (r.post_id, r.att_id, r.abs_url, r.out_name, r.err)
+                for r in extract.extract_vb_attachments(VB4_PAGE, page_url)
+            ]
+            got_files = [
+                (r["post_id"], r["att_id"], r["abs_url"], r["out_name"], r["err"])
+                for r in files.collect()
+            ]
+            assert got_files == want_files
+            want_links = [
+                (l.link, l.abs_url, l.element_index)
+                for l in extract.extract_links(VB4_PAGE, page_url)
+            ]
+            got_links = [
+                (r["link"], r["abs_url"], r["element_index"]) for r in links.collect()
+            ]
+            assert got_links == want_links
+        finally:
+            fetched.unpersist()
+
+    def test_want_flags_skip_walks(self, spark):
+        from pyspark.sql import functions as F
+
+        from bbcrawl_spark.functions.udfs import CT_DEFAULT, make_extract_fused_udf
+
+        df = spark.createDataFrame(
+            [("http://h/t", bytearray(b"<a href='/x'>y</a>"), 0)],
+            "url string, html binary, page_num int",
+        )
+        fused = make_extract_fused_udf("", want_text=False, want_links=False)
+        row = df.select(
+            fused("html", "url", "page_num", F.lit(CT_DEFAULT)).alias("_ex")
+        ).first()["_ex"]
+        assert row["text"] == "" and row["links"] == [] and row["files"] == []

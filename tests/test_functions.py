@@ -99,6 +99,32 @@ class TestHeaderFilenameParity:
             "123-1-report.pdf", "",
         )
 
+    def test_malformed_error_formats_untrimmed_field(self, spark):
+        from bbcrawl_spark import extract
+        from bbcrawl_spark.functions.udfs import header_filename_raw_field_col
+
+        # Go formats the RAW field (downloader.go:133): after ';'-split the
+        # field keeps its leading space, so the message has TWO spaces
+        h = 'attachment; filename="a=b"'
+        _, err = extract.header_filename(h)
+        assert err == (
+            'malformed filename in Content-disposition header:  filename="a=b"'
+        )
+        # no separator -> no leading space, single space after the colon
+        _, err2 = extract.header_filename('filename="a=b"')
+        assert err2 == (
+            'malformed filename in Content-disposition header: filename="a=b"'
+        )
+        # the column twin yields the same raw field
+        df = spark.createDataFrame([(h,), ('filename="a=b"',)], "hdr string")
+        raws = [
+            r["raw"]
+            for r in df.select(
+                header_filename_raw_field_col("hdr").alias("raw")
+            ).collect()
+        ]
+        assert raws == [' filename="a=b"', 'filename="a=b"']
+
 
 class TestExtractUDFs:
     def test_vb_udf_through_spark(self, spark):

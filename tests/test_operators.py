@@ -162,6 +162,45 @@ class TestIncrementalBloom:
         with pytest.raises(ValueError, match="fill budget"):
             dedup.update_partitioned_bloom(_url_df(spark, grow), d0, d1, self.P)
 
+    def test_rebuild_into_pointer_dir_never_writes_through_pointers(
+        self, spark, tmp_path
+    ):
+        """Regression: a dir produced by update_partitioned_bloom holds a
+        manifest whose untouched entries POINT to earlier rounds' blob files.
+        Rebuilding into that dir used to resolve write paths through those
+        pointers — silently overwriting the older rounds' blobs. Blobs must
+        always land dir-local."""
+        import os
+
+        base = [f"http://h{i % 16}.ex/t/{i}" for i in range(400)]
+        delta = ["http://h9.ex/new/0"]
+        d0, d1 = str(tmp_path / "r0"), str(tmp_path / "r1")
+        dedup.build_partitioned_bloom(_url_df(spark, base), d0, self.P)
+        dedup.update_partitioned_bloom(_url_df(spark, delta), d0, d1, self.P)
+        # d1's manifest carries pointers into d0 for untouched partitions
+        assert any(
+            e["path"].startswith(d0) for e in dedup._read_manifest(d1).values()
+        )
+        before = {
+            f: open(os.path.join(d0, f), "rb").read()
+            for f in os.listdir(d0)
+            if f.endswith(".npy")
+        }
+        rebuilt_from = [f"http://other{i}.ex/x/{i}" for i in range(300)]
+        dedup.build_partitioned_bloom(_url_df(spark, rebuilt_from), d1, self.P)
+        after = {
+            f: open(os.path.join(d0, f), "rb").read()
+            for f in os.listdir(d0)
+            if f.endswith(".npy")
+        }
+        assert before == after, "rebuild wrote through manifest pointers into d0"
+        # d1 now stands alone: local paths only, correct membership
+        m1 = dedup._read_manifest(d1)
+        assert all(e["path"].startswith(d1) for e in m1.values())
+        spec = dedup.BloomSpec(d1, self.P)
+        flagged = dedup.bloom_maybe_seen(_url_df(spark, rebuilt_from), spec)
+        assert flagged.filter("NOT maybe_seen").count() == 0
+
 
 class TestPoliteness:
     def _frontier(self, spark):
@@ -201,6 +240,9 @@ class TestPoliteness:
             ),
             "group_limit": politeness.rank_fetch_slots(f, budget=5, mode="group_limit"),
             "full_rank": politeness.rank_fetch_slots(f, budget=5, mode="full_rank"),
+            "broadcast_topk": politeness.rank_fetch_slots(
+                f, budget=5, mode="broadcast_topk"
+            ),
         }
         sched = lambda df: sorted(
             (r["url"], r["fetch_rank"], r["slot"], r["wave"])
@@ -256,6 +298,29 @@ class TestPoliteness:
         )
         plan = ranked._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan, plan
+
+    def test_broadcast_topk_plan_never_shuffles_frontier(self, spark):
+        """broadcast_topk's whole point: the only shuffle Exchange carries
+        the NARROW projection (through a WindowGroupLimit partial), and the
+        frontier re-attaches via a broadcast hash join — the wide rows never
+        cross an exchange."""
+        ranked = politeness.rank_fetch_slots(
+            self._frontier(spark), budget=5, mode="broadcast_topk"
+        )
+        plan = ranked._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        # exactly one shuffle exchange (the narrow rank); the broadcast
+        # exchange is not a shuffle
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", plan)) <= 1, plan
+        # the shuffle exchange must not carry the url string column: only the
+        # narrow projection (host/priority/page_num/url_hash) is ranked
+        shuffle_lines = [
+            l for l in plan.splitlines() if "Exchange" in l and "Broadcast" not in l
+        ]
+        assert shuffle_lines and all("url#" not in l for l in shuffle_lines), plan
 
 
 class TestRobots:

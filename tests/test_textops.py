@@ -141,6 +141,26 @@ class TestMinHash:
         )
         assert kept == [0, 2]
 
+    def test_dedup_leaves_no_cached_state(self, spark):
+        # Regression: the former self-join persisted the signature DF and
+        # never unpersisted it — every dedup call pinned executor memory for
+        # the session. The single-pass bucketed shape needs no cache at all.
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        df = _docs_df(spark, NEAR_DUP_TEXTS)
+        textops.minhash_dedup(df, threshold=0.4).count()
+        textops.minhash_lsh_pairs(df, threshold=0.4).count()
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+    def test_lsh_pairs_bucket_cap_is_lower_bound(self, spark):
+        # an exact-duplicate cluster of 4 collides in EVERY band bucket;
+        # max_bucket_size below the cluster size drops those buckets (never
+        # emitting a false pair), a cap at/above keeps all 6 pairs
+        df = _docs_df(spark, [NEAR_DUP_TEXTS[0]] * 4 + [NEAR_DUP_TEXTS[2]])
+        full = textops.minhash_lsh_pairs(df, threshold=0.4)
+        assert full.count() == 6
+        capped = textops.minhash_lsh_pairs(df, threshold=0.4, max_bucket_size=3)
+        assert capped.count() == 0
+
 
 class TestSimHash:
     def test_exact_dup_zero_hamming(self, spark):
@@ -338,6 +358,29 @@ class TestIVF:
         import numpy as np
 
         assert np.array_equal(c1, c2)
+
+    def test_train_survives_sparse_offset_negative_ids(self, spark, emb):
+        # Regression: `id % step == 0` sampling assumed dense ids from ~0.
+        # A sparse/offset/negative id space produced an EMPTY sample and
+        # np.linalg.norm raised on the 0-d array. Falls back to the first
+        # max_sample rows now.
+        corpus = emb.limit(200).select(
+            (F.col("vec_id") * 1000 + 7).alias("vec_id"), "embedding"
+        )
+        c = similarity.train_ivf_centroids(corpus, dim=64, n_centroids=8)
+        assert c.shape == (8, 64)
+        neg = emb.limit(200).select(
+            (-F.col("vec_id") * 1000 - 7).alias("vec_id"), "embedding"
+        )
+        c2 = similarity.train_ivf_centroids(neg, dim=64, n_centroids=8)
+        assert c2.shape == (8, 64)
+
+    def test_train_empty_corpus_returns_seeded(self, spark, emb):
+        import numpy as np
+
+        empty = emb.filter(F.lit(False))
+        c = similarity.train_ivf_centroids(empty, dim=64, n_centroids=8)
+        assert np.array_equal(c, similarity._seed_centroids(64, 8, 42))
 
     def test_ivf_deterministic(self, spark, emb):
         corpus = emb.limit(50).cache()
