@@ -31,7 +31,12 @@ def main(argv: list[str] | None = None) -> int:
 
     ap = argparse.ArgumentParser(prog="bbcrawl_spark")
     ap.add_argument("--pages", required=True, help="pages table path (parquet/Iceberg)")
-    ap.add_argument("--warehouse", required=True, help="crawl state root")
+    ap.add_argument(
+        "--warehouse",
+        default="",
+        help="crawl state root (defaults to the reference -o output dir "
+        "when given after --bbcrawl)",
+    )
     ap.add_argument("--seed", action="append", default=[], help="seed URL (repeatable)")
     ap.add_argument("--budget", type=int, default=5)
     ap.add_argument("--rounds", type=int, default=100)
@@ -66,10 +71,18 @@ def main(argv: list[str] | None = None) -> int:
     allow_redirect = True
     tags: tuple[str, ...] = ("audio", "img", "video")
     attrs: tuple[tuple[str, str], ...] = ()
+    warehouse_root = args.warehouse
     if bbcrawl_args is not None:
         from . import cmdline, pagers
 
-        pager_spec, crawler_spec, _ = cmdline.parse_command(bbcrawl_args)
+        pager_spec, crawler_spec, glob = cmdline.parse_command(bbcrawl_args)
+        # -o (the reference output dir, libcrawl/api.go:57-67) is where every
+        # crawler writes its downloads — here, the warehouse root holding the
+        # downloads table. --warehouse (engine-native) wins when both given.
+        if not warehouse_root:
+            warehouse_root = glob["output"]
+        if glob["loglevel"]:
+            spark.sparkContext.setLogLevel(glob["loglevel"])
         # carry the pager's PageNum() into the seed frontier — re-deriving it
         # from a '/pageN' suffix is wrong for the query/cutter pagers, and
         # page_num is the seed tiebreak in the per-host crawl order (for all
@@ -87,9 +100,11 @@ def main(argv: list[str] | None = None) -> int:
             tags = crawler_spec.tags
         attrs = crawler_spec.attrs
 
+    if not warehouse_root:
+        ap.error("--warehouse (or a reference -o output dir) is required")
     cfg = CrawlConfig(
         pages_path=args.pages,
-        warehouse_root=args.warehouse,
+        warehouse_root=warehouse_root,
         seeds=seeds,
         budget=args.budget,
         max_rounds=args.rounds,

@@ -26,6 +26,8 @@ __all__ = [
     "parse_int_tuple",
     "parse_url_collection",
     "parse_fs_directory",
+    "parse_loglevel",
+    "LOGLEVELS",
     "parse_attrs",
     "parse_whitelist",
     "tokenize_attrs",
@@ -156,6 +158,29 @@ def parse_fs_directory(s: str) -> str:
     return p
 
 
+#: reference logger severities (jwdev42/logger LevelFlag; least-severe-printed
+#: semantics, libcrawl/api.go:60-61,75) -> the nearest Spark log4j level
+LOGLEVELS = {
+    "debug": "DEBUG",
+    "info": "INFO",
+    "notice": "INFO",
+    "warning": "WARN",
+    "error": "ERROR",
+    "panic": "FATAL",
+}
+
+
+def parse_loglevel(s: str) -> str:
+    """-loglevel value -> a Spark log4j level name; invalid values error
+    like the reference's flag parser would."""
+    level = LOGLEVELS.get(s.strip().lower())
+    if level is None:
+        raise ValueError(
+            f"Invalid loglevel {s!r}. Valid values are {', '.join(LOGLEVELS)}"
+        )
+    return level
+
+
 def parse_whitelist(s: str, delim: str, whitelist: list[str]) -> list[str]:
     elems = s.split(delim)
     for name in elems:
@@ -281,8 +306,13 @@ def parse_command(cmdln: list[str]):
     p = partition(cmdln)
 
     g = _parse_flagset(p.global_flags, {"o": True, "cookie-file": True, "loglevel": True})
-    glob = {"output": g.get("o", ""), "cookie_file": g.get("cookie-file", ""),
-            "loglevel": g.get("loglevel", "")}
+    # -o is FSDirectory-validated like the reference (libcrawl/api.go:57-58:
+    # the output dir must already exist); it becomes the engine's
+    # warehouse/downloads root (api.go:66-67 sets CrawlContext.output, which
+    # every crawler writes under)
+    output = parse_fs_directory(g["o"]) if g.get("o") else ""
+    glob = {"output": output, "cookie_file": g.get("cookie-file", ""),
+            "loglevel": parse_loglevel(g["loglevel"]) if g.get("loglevel") else ""}
     if glob["cookie_file"]:
         # J4: the reference keys a live cookie jar per public-suffix domain
         # (libcrawl/api.go:58-74); this engine crawls PRE-FETCHED pages, so

@@ -187,3 +187,58 @@ class TestParseCommand:
             "bbcrawl -pager vb4 -start 1 -end 2 -crawler file http://h.ex/t".split()
         )
         assert not [w for w in recwarn.list if "cookie-file" in str(w.message)]
+
+    def test_output_dir_consumed(self, tmp_path):
+        """-o (libcrawl/api.go:57-67): FSDirectory-validated, becomes the
+        engine's warehouse/downloads root — no longer a silently-dead flag."""
+        _, _, glob = cmdline.parse_command(
+            f"bbcrawl -o {tmp_path} -pager vb4 -start 1 -end 2 "
+            "-crawler file http://h.ex/t".split()
+        )
+        import os
+
+        assert glob["output"] == os.path.abspath(str(tmp_path))
+
+    def test_output_dir_must_exist(self, tmp_path):
+        # the reference's FSDirectory rejects non-directories
+        with pytest.raises(ValueError, match="is not a directory"):
+            cmdline.parse_command(
+                f"bbcrawl -o {tmp_path}/nope -pager vb4 -start 1 -end 2 "
+                "-crawler file http://h.ex/t".split()
+            )
+
+    def test_loglevel_consumed_and_validated(self):
+        _, _, glob = cmdline.parse_command(
+            "bbcrawl -loglevel debug -pager vb4 -start 1 -end 2 "
+            "-crawler file http://h.ex/t".split()
+        )
+        assert glob["loglevel"] == "DEBUG"
+        assert cmdline.parse_loglevel("Warning") == "WARN"
+        assert cmdline.parse_loglevel("panic") == "FATAL"
+        with pytest.raises(ValueError, match="Invalid loglevel"):
+            cmdline.parse_loglevel("loud")
+
+    def test_output_dir_drives_module_cli_warehouse(self, tmp_path, spark):
+        """`python -m bbcrawl_spark --bbcrawl ... -o DIR` crawls into DIR
+        when --warehouse is omitted (the reference's output-dir behavior)."""
+        import json
+        import os
+
+        from pyspark.sql import functions as F
+
+        from bbcrawl_spark.__main__ import main
+        from bbcrawl_spark.sources.boardsite import make_board_site
+
+        site = make_board_site(hosts=1, boards=1, threads=1, pages_per_thread=2)
+        pages = str(tmp_path / "pages")
+        site.to_df(spark).write.parquet(pages)
+        out = tmp_path / "outdir"
+        out.mkdir()
+        rc = main(
+            ["--pages", pages, "--rounds", "2", "--bbcrawl", "-o", str(out),
+             "-pager", "vb4", "-start", "1", "-end", "2", "-crawler",
+             "vb-attachments", site.seeds[0][0]]
+        )
+        assert rc == 0
+        # the crawl state landed under -o
+        assert (out / "_rounds.json").exists()
