@@ -91,6 +91,12 @@ class CrawlConfig:
     allow_redirect: bool = True
     tags: tuple[str, ...] = ("audio", "img", "video")  # src -tags
     attrs: tuple[tuple[str, str], ...] = ()  # src -attrs pairs
+    # warehouse maintenance (Iceberg rewrite_data_files / expire_snapshots).
+    # Without them an append-per-round chain reads through O(rounds) parquet
+    # dirs — at hundreds of rounds the dir list + file-open fan-out, not the
+    # data, becomes the reader bottleneck.
+    compact_every: int = 0  # >0: every K rounds rewrite append chains to 1 dir
+    expire_keep_rounds: int = 0  # >0: keep only the last K rounds' snapshots
 
 
 def page_num_col(url) -> F.Column:
@@ -452,6 +458,15 @@ class CrawlDriver:
             )
             sids["bloom_dir"] = bloom_dir
 
+        # --- small-file compaction (must run AFTER Bloom maintenance: the
+        # delta read needs the APPEND snapshot — a compacted snapshot's own
+        # dir is the whole table). The round log then pins the compacted
+        # snapshot, so reads and resumes see O(compact_every) dirs.
+        if cfg.compact_every > 0 and (r + 1) % cfg.compact_every == 0:
+            for t in ("seen", "fetch_log", "fetched", "metrics", "downloads"):
+                if t in sids:  # frontier is a full overwrite (1 dir) already
+                    sids[t] = self.wh.compact(t, sids[t], meta={"round": r})
+
         n_next = self.wh.read("frontier", sids["frontier"]).count()
         n_sched = self.wh.read("fetch_log", sids["fetch_log"]).filter(
             F.col("round") == r
@@ -459,7 +474,51 @@ class CrawlDriver:
         meta = {"round": r, "n_scheduled": n_sched, "n_frontier_next": n_next,
                 "done": n_next == 0 or n_sched == 0}
         self.wh.commit_round(r, sids, meta)
+        # --- snapshot expiry AFTER the commit barrier: the round log always
+        # points at live snapshots; a crash mid-expiry leaves garbage dirs,
+        # never a pinned-but-deleted snapshot.
+        if cfg.expire_keep_rounds > 0:
+            self._expire_old_rounds(r)
         return meta
+
+    def _expire_old_rounds(self, r: int) -> None:
+        """Keep only the last ``expire_keep_rounds`` rounds' snapshots (plus
+        each table's current) and the Bloom dirs they reference.
+
+        Bloom round dirs need reference counting, not age: an incrementally
+        maintained manifest FORWARDS untouched partitions to earlier rounds'
+        blob files (pointer-carry), so an old dir is deletable only when no
+        kept round's manifest resolves a blob inside it.
+        """
+        import os
+        import shutil
+
+        cutoff = r - self.cfg.expire_keep_rounds + 1
+        log = self.wh.round_log()
+        kept = [k for k in log if int(k) >= cutoff]
+        per_table: dict[str, set] = {}
+        for k in kept:
+            for t, sid in log[k]["tables"].items():
+                if t != "bloom_dir":
+                    per_table.setdefault(t, set()).add(sid)
+        for t, keep in per_table.items():
+            self.wh.expire_snapshots(t, keep)
+        if self.cfg.bloom_partitions > 0:
+            kept_dirs = {
+                log[k]["tables"]["bloom_dir"]
+                for k in kept
+                if "bloom_dir" in log[k]["tables"]
+            }
+            live = {os.path.abspath(d) for d in kept_dirs}
+            for d in kept_dirs:
+                for entry in dedup._read_manifest(d).values():
+                    live.add(os.path.abspath(os.path.dirname(entry["path"])))
+            base = os.path.join(self.cfg.warehouse_root, "bloom")
+            if os.path.isdir(base):
+                for name in os.listdir(base):
+                    p = os.path.abspath(os.path.join(base, name))
+                    if os.path.isdir(p) and p not in live:
+                        shutil.rmtree(p, ignore_errors=True)
 
     # -- result readers ----------------------------------------------------
     def _last(self, table: str) -> DataFrame:

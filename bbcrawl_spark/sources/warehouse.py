@@ -14,7 +14,14 @@ Iceberg semantics the crawl loop needs:
 * time travel: any snapshot id remains readable until expired;
 * atomic multi-table round commit: the crawl driver records
   {table -> snapshot_id} per round in a separate round log, committed
-  last — the Iceberg equivalent of tagging per-round snapshots.
+  last — the Iceberg equivalent of tagging per-round snapshots;
+* maintenance: ``compact`` rewrites a snapshot's dir chain into ONE dir
+  (Iceberg ``rewrite_data_files``) and ``expire_snapshots`` drops old
+  snapshots + deletes data dirs no kept snapshot references (Iceberg
+  ``expire_snapshots`` + orphan-file cleanup). Without both, an
+  append-per-round chain grows one parquet dir per round forever — at
+  hundreds of rounds the reader's dir list and file-open fan-out become
+  the bottleneck, not the data.
 
 On a real cluster, swap this class for ``spark.read.format("iceberg")`` /
 ``df.writeTo(...)`` — the crawl loop only touches the four methods
@@ -77,10 +84,23 @@ class Warehouse:
         return self._manifest(table)["current"]
 
     # -- write path ------------------------------------------------------
+    @staticmethod
+    def _next_sid(man: dict) -> str:
+        """Monotonic snapshot id from a persisted counter. Deriving the id
+        from ``len(snapshots)`` breaks after expiry: the count shrinks, the
+        'new' id collides with a kept snapshot, and writing its data dir
+        would clobber live files. Legacy manifests (no counter) resume from
+        max(existing id) + 1."""
+        nid = man.get("next_id")
+        if nid is None:
+            nid = 1 + max((int(s[1:]) for s in man["snapshots"]), default=-1)
+        man["next_id"] = nid + 1
+        return f"s{nid:05d}"
+
     def _new_snapshot(self, table: str, df: DataFrame, parent_dirs: list[str],
                       meta: dict | None) -> str:
         man = self._manifest(table)
-        sid = f"s{len(man['snapshots']):05d}"
+        sid = self._next_sid(man)
         data_dir = os.path.join(self._table_dir(table), "data", sid)
         df.write.mode("overwrite").parquet(data_dir)
         man["snapshots"][sid] = {
@@ -121,6 +141,67 @@ class Warehouse:
             pid = parent_snapshot
         parent_dirs = man["snapshots"][pid]["dirs"] if pid else []
         return self._new_snapshot(table, df, list(parent_dirs), meta)
+
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots) -------
+    def compact(self, table: str, snapshot_id: str | None = None,
+                meta: dict | None = None) -> str:
+        """Rewrite a snapshot's dir chain into ONE data dir (same rows).
+
+        The new snapshot is a normal child of ``current``; appends chain off
+        it afterwards, so a crawl that compacts every K rounds reads any
+        table through O(K) dirs instead of O(rounds). Old snapshots stay
+        readable until expired.
+        """
+        man = self._manifest(table)
+        sid = snapshot_id or man["current"]
+        if sid is None:
+            raise FileNotFoundError(f"table {table!r} has no committed snapshot")
+        df = self.read(table, sid)
+        return self._new_snapshot(
+            table, df, [], {**(meta or {}), "compaction_of": sid}
+        )
+
+    def expire_snapshots(self, table: str, keep: set[str]) -> dict:
+        """Expire every snapshot not in ``keep`` (current is always kept) and
+        delete the data dirs no kept snapshot references.
+
+        Ordering is crash-safe: the manifest (atomic rename) drops the
+        expired entries FIRST, then the orphaned dirs are deleted — a crash
+        in between leaves unreferenced garbage on disk, never a manifest
+        pointing at deleted data. Returns {"expired": [...], "removed_dirs":
+        [...]} for the caller's metrics.
+        """
+        import shutil
+
+        man = self._manifest(table)
+        keep = {s for s in keep if s in man["snapshots"]}
+        if man["current"] is not None:
+            keep.add(man["current"])
+        live_dirs: set[str] = set()
+        for sid in keep:
+            live_dirs.update(man["snapshots"][sid]["dirs"])
+        expired = sorted(s for s in man["snapshots"] if s not in keep)
+        removed_dirs: set[str] = set()
+        for sid in expired:
+            removed_dirs.update(
+                d for d in man["snapshots"][sid]["dirs"] if d not in live_dirs
+            )
+        if not expired:
+            return {"expired": [], "removed_dirs": []}
+        # pin the id counter before entries disappear (legacy manifests)
+        if man.get("next_id") is None:
+            man["next_id"] = 1 + max(
+                (int(s[1:]) for s in man["snapshots"]), default=-1
+            )
+        for sid in expired:
+            del man["snapshots"][sid]
+        for snap in man["snapshots"].values():
+            if snap.get("parent") not in man["snapshots"]:
+                snap["parent"] = None  # expired ancestor: lineage root now
+        _atomic_write_json(self._manifest_path(table), man)
+        for d in removed_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return {"expired": expired, "removed_dirs": sorted(removed_dirs)}
 
     # -- read path -------------------------------------------------------
     def read(self, table: str, snapshot_id: str | None = None) -> DataFrame:

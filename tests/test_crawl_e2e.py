@@ -388,6 +388,65 @@ class TestResume:
         assert got_order == want.crawl_order
         assert {r["url_hash"] for r in d2.seen_set().collect()} == want.seen
 
+    def test_maintenance_crawl_identical_and_bounded_dirs(
+        self, spark, site, pages_path, tmp_path, want
+    ):
+        """Compaction + expiry on (the 100s-of-rounds reader-fanout defense):
+        the crawl result is identical, the seen table reads through O(compact
+        _every) dirs instead of O(rounds), pre-retention snapshots and stale
+        bloom round dirs are gone from disk."""
+        import os
+
+        wh = tmp_path / "whm"
+        drv = _driver(
+            spark, site, pages_path, wh,
+            bloom_partitions=4, compact_every=2, expire_keep_rounds=1,
+        )
+        summary = drv.run()
+        assert summary["done"]
+        assert _order(drv) == want.crawl_order
+        assert {r["url_hash"] for r in drv.seen_set().collect()} == want.seen
+        last = drv.wh.last_committed_round()
+        assert last >= 3  # maintenance actually cycled
+        # bounded read fan-out: current seen chain ≤ compact_every dirs
+        man = drv.wh._manifest("seen")
+        cur_dirs = man["snapshots"][man["current"]]["dirs"]
+        assert len(cur_dirs) <= 2
+        # pre-retention snapshots expired (round 0's pin no longer readable)
+        old_sid = drv.wh.round_snapshot(0, "seen")
+        assert old_sid not in man["snapshots"]
+        # stale bloom round dirs deleted; kept manifests resolve only live blobs
+        bloom_base = os.path.join(str(wh), "bloom")
+        from bbcrawl_spark.operators import dedup as _dedup
+
+        kept_bloom = drv.wh.round_snapshot(last, "bloom_dir")
+        for e in _dedup._read_manifest(kept_bloom).values():
+            assert os.path.exists(e["path"])
+        assert len(os.listdir(bloom_base)) <= last + 1
+
+    def test_resume_after_expiry_identical(
+        self, spark, site, pages_path, tmp_path, want
+    ):
+        """Kill mid-crawl with maintenance on — the expiry has already
+        deleted pre-resume snapshots — then resume from the round-log pins."""
+        wh = tmp_path / "whme"
+        d1 = _driver(
+            spark, site, pages_path, wh,
+            bloom_partitions=4, compact_every=2, expire_keep_rounds=1,
+        )
+        d1.run(max_rounds=2)
+        assert d1.wh.last_committed_round() == 1
+        # round 0's snapshots are expired by now
+        assert d1.wh.round_snapshot(0, "seen") not in d1.wh._manifest("seen")["snapshots"]
+        d2 = _driver(
+            spark, site, pages_path, wh,
+            bloom_partitions=4, compact_every=2, expire_keep_rounds=1,
+        )
+        summary = d2.run()
+        assert summary["done"]
+        assert _order(d2) == want.crawl_order
+        assert {r["url_hash"] for r in d2.seen_set().collect()} == want.seen
+
     def test_rerun_after_done_is_noop(self, run, spark, site, pages_path):
         drv, s1 = run
         d2 = _driver(spark, site, pages_path, drv.cfg.warehouse_root)

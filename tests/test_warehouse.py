@@ -50,6 +50,70 @@ class TestSnapshots:
             wh.read("nope")
 
 
+class TestMaintenance:
+    def _dirs(self, wh, table, sid=None):
+        man = wh._manifest(table)
+        return man["snapshots"][sid or man["current"]]["dirs"]
+
+    def test_compact_same_rows_one_dir(self, spark, wh):
+        wh.write("t", _df(spark, [1]))
+        for v in (2, 3, 4, 5):
+            wh.append("t", _df(spark, [v]))
+        assert len(self._dirs(wh, "t")) == 5
+        pre = wh.current_snapshot("t")
+        sid = wh.compact("t")
+        assert sorted(r["v"] for r in wh.read("t", sid).collect()) == [1, 2, 3, 4, 5]
+        assert len(self._dirs(wh, "t", sid)) == 1
+        # pre-compaction snapshot still time-travels until expired
+        assert sorted(r["v"] for r in wh.read("t", pre).collect()) == [1, 2, 3, 4, 5]
+        # appends chain off the compacted snapshot: O(1)+1 dirs, not O(rounds)
+        s2 = wh.append("t", _df(spark, [6]))
+        assert len(self._dirs(wh, "t", s2)) == 2
+        assert sorted(r["v"] for r in wh.read("t", s2).collect()) == [1, 2, 3, 4, 5, 6]
+
+    def test_expire_deletes_only_unreferenced_dirs(self, spark, wh):
+        import os
+
+        s1 = wh.write("t", _df(spark, [1]))
+        s2 = wh.append("t", _df(spark, [2]))  # shares s1's dir
+        s3 = wh.compact("t")  # fresh single dir
+        shared = self._dirs(wh, "t", s1)[0]
+        res = wh.expire_snapshots("t", keep={s2})
+        # s1 expired but its dir lives on inside s2's chain; s3 is current
+        assert res["expired"] == [s1]
+        assert res["removed_dirs"] == []
+        assert os.path.isdir(shared)
+        assert sorted(r["v"] for r in wh.read("t", s2).collect()) == [1, 2]
+        # now drop s2 too: the shared dir has no live referent left
+        res = wh.expire_snapshots("t", keep=set())
+        assert res["expired"] == [s2]
+        assert shared in res["removed_dirs"]
+        assert not os.path.isdir(shared)
+        with pytest.raises(KeyError):
+            wh.read("t", s2)
+        assert sorted(r["v"] for r in wh.read("t", s3).collect()) == [1, 2]
+
+    def test_expire_never_reuses_snapshot_ids(self, spark, wh):
+        s1 = wh.write("t", _df(spark, [1]))
+        s2 = wh.append("t", _df(spark, [2]))
+        wh.expire_snapshots("t", keep={s2})
+        s3 = wh.write("t", _df(spark, [9]))
+        # a len()-derived id would collide with s2 and clobber its live dir
+        assert s3 not in {s1, s2}
+        assert sorted(r["v"] for r in wh.read("t", s2).collect()) == [1, 2]
+        assert [r["v"] for r in wh.read("t", s3).collect()] == [9]
+
+    def test_expire_roots_orphaned_parents(self, spark, wh):
+        wh.write("t", _df(spark, [1]))
+        s2 = wh.append("t", _df(spark, [2]))
+        s3 = wh.append("t", _df(spark, [3]))
+        wh.expire_snapshots("t", keep={s3})
+        man = wh._manifest("t")
+        assert man["snapshots"][s3]["parent"] is None  # s2 expired
+        assert s2 not in man["snapshots"]
+        assert sorted(r["v"] for r in wh.read("t").collect()) == [1, 2, 3]
+
+
 class TestRoundLog:
     def test_commit_and_query(self, spark, wh):
         s0 = wh.write("frontier", _df(spark, [1]))
