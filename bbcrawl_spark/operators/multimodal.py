@@ -45,6 +45,34 @@ MEDIA_SCHEMA = StructType(
 
 _FAKE_RE = re.compile(rb"^FAKEIMG:(\d+),(\d+):")
 
+#: registered real decoder (driver-side). A cluster wires its codec with
+#: ``set_decoder`` instead of editing this operator; the registered function
+#: is captured into each operator's closure at DataFrame-CONSTRUCTION time
+#: and shipped to executors by cloudpickle — mutating this module global
+#: alone would never reach the separate worker processes.
+_DECODER: list = []
+
+
+def set_decoder(fn) -> None:
+    """Register the real image decoder: ``fn(blob: bytes) -> np.ndarray``
+    (grayscale ``(H, W)`` uint8). E.g. on a cluster with PIL::
+
+        set_decoder(lambda b: np.asarray(
+            PIL.Image.open(io.BytesIO(b)).convert("L")))
+
+    Operators built AFTER registration use it for any non-FAKEIMG blob; the
+    function must be picklable (top-level def or lambda over picklable
+    state)."""
+    _DECODER[:] = [fn]
+
+
+def get_decoder():
+    return _DECODER[0] if _DECODER else None
+
+
+def reset_decoder() -> None:
+    _DECODER.clear()
+
 
 def encode_fake_image(width: int, height: int, seed: int = 0) -> bytes:
     """Deterministic stand-in blob: FAKEIMG header + w*h pseudo-pixels."""
@@ -62,16 +90,22 @@ def _decode_fake(blob: bytes) -> np.ndarray:
     return payload[: w * h].reshape(h, w)
 
 
-def decode_image(blob: bytes, strict: bool = True) -> np.ndarray:
-    """STUB — real image decoding needs a codec library not present in
-    this container. strict=True raises; strict=False handles the
-    deterministic FAKEIMG format used by tests and fixtures."""
+def decode_image(blob: bytes, strict: bool = True, decoder=None) -> np.ndarray:
+    """Decode a blob: FAKEIMG natively, anything else through the pluggable
+    decoder (``decoder`` argument, falling back to the ``set_decoder``
+    registry). Real codec libraries are not present in this container, so
+    with no decoder registered a non-FAKEIMG blob raises (strict) — the
+    message points at the registry seam a cluster wires."""
     if _FAKE_RE.match(blob or b""):
         return _decode_fake(blob)
+    dec = decoder if decoder is not None else get_decoder()
+    if dec is not None:
+        return np.asarray(dec(blob), dtype=np.uint8)
     if strict:
         raise NotImplementedError(
-            "real image codecs are not available in this environment; "
-            "wire PIL/turbojpeg here on a real cluster"
+            "no image codec available in this environment; register one with "
+            "bbcrawl_spark.operators.multimodal.set_decoder(fn) — e.g. "
+            "PIL/turbojpeg on a real cluster"
         )
     raise ValueError("unknown image format")
 
@@ -92,11 +126,13 @@ def image_features(media: DataFrame) -> DataFrame:
     mean intensity, nonzero ratio. Batch shape is real; the decode is the
     FAKEIMG stub."""
 
+    dec = get_decoder()  # captured NOW — ships to workers inside the closure
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                img = decode_image(bytes(blob), strict=False)
+                img = decode_image(bytes(blob), strict=False, decoder=dec)
                 rows.append(
                     {
                         "media_id": mid,
@@ -118,11 +154,13 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
         [StructField("media_id", LongType()), StructField("blob", BinaryType())]
     )
 
+    dec = get_decoder()  # captured NOW — ships to workers inside the closure
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                img = decode_image(bytes(blob), strict=False)
+                img = decode_image(bytes(blob), strict=False, decoder=dec)
                 ys = (np.arange(out_h) * img.shape[0] // out_h).clip(0, img.shape[0] - 1)
                 xs = (np.arange(out_w) * img.shape[1] // out_w).clip(0, img.shape[1] - 1)
                 small = img[np.ix_(ys, xs)]

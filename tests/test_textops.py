@@ -12,6 +12,13 @@ from bbcrawl_spark.operators import multimodal, similarity, textops
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _raw4x2_decoder(blob: bytes) -> np.ndarray:
+    """Stand-in 'real codec' for the set_decoder seam: top-level def so
+    cloudpickle ships it to the workers."""
+    assert blob.startswith(b"RAW4x2:")
+    return np.frombuffer(blob[len(b"RAW4x2:"):], dtype=np.uint8).reshape(2, 4)
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -314,6 +321,48 @@ class TestMultimodal:
             by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
         assert by_id[0] == [0, 2]  # height 4 -> frames 0,2
         assert by_id[1] == [0, 2, 4]  # height 5 -> frames 0,2,4
+
+    def test_strict_error_names_the_registry(self):
+        with pytest.raises(NotImplementedError, match="set_decoder"):
+            multimodal.decode_image(b"\x89PNG\r\n...", strict=True)
+
+    def test_pluggable_decoder_through_spark(self, spark):
+        """A cluster wires its codec via set_decoder(fn) without editing the
+        operator: the registered decoder is captured into the mapInPandas
+        closure at construction time and runs on the workers for non-FAKEIMG
+        blobs (FAKEIMG still decodes natively)."""
+        rows = [
+            (0, b"RAW4x2:" + bytes(range(8)), "image/raw", 4, 2),
+            (1, multimodal.encode_fake_image(8, 4, seed=1), "image/fake", 8, 4),
+        ]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        multimodal.set_decoder(_raw4x2_decoder)
+        try:
+            feats = {
+                r["media_id"]: r
+                for r in multimodal.image_features(media).collect()
+            }
+        finally:
+            multimodal.reset_decoder()
+        assert (feats[0]["width"], feats[0]["height"]) == (4, 2)
+        assert feats[0]["mean_intensity"] == int(np.arange(8).mean())
+        assert (feats[1]["width"], feats[1]["height"]) == (8, 4)
+        # registry cleared: strict decode of the custom format raises again
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(rows[0][1], strict=True)
+
+    def test_operator_captures_decoder_at_construction(self, spark):
+        """reset_decoder() after the DataFrame is built must NOT break an
+        already-constructed plan — the decoder travels in the closure."""
+        media = spark.createDataFrame(
+            [(0, b"RAW4x2:" + bytes(range(8)), "image/raw", 4, 2)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        multimodal.set_decoder(_raw4x2_decoder)
+        feats_df = multimodal.image_features(media)
+        multimodal.reset_decoder()
+        out = feats_df.collect()
+        assert out[0]["width"] == 4 and out[0]["height"] == 2
 
 
 class TestNgramJaccardScaleCap:
