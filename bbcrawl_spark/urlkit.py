@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 __all__ = [
     "GoURL",
     "parse_url",
+    "path_unescape",
     "url_for_pager",
     "smallest_substr_right",
     "file_name_from_url",
@@ -41,6 +42,34 @@ __all__ = [
 ]
 
 _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):(.*)$", re.DOTALL)
+
+_HEX = "0123456789abcdefABCDEF"
+
+
+def path_unescape(s: str) -> str:
+    """Go ``unescape(s, encodePath)`` — the decode step ``url.Parse`` applies
+    to the path before storing ``URL.Path``: every ``%XX`` becomes its byte
+    (``+`` stays ``+`` in path mode), bytes re-read as UTF-8 with
+    surrogateescape so arbitrary byte sequences round-trip like Go byte
+    strings. Invalid escapes raise ``ValueError`` with Go's
+    ``url.EscapeError`` text (Go fails the whole ``Parse`` on them)."""
+    if "%" not in s:
+        return s
+    out = bytearray()
+    raw = s.encode("utf-8", "surrogateescape")
+    i, n = 0, len(raw)
+    while i < n:
+        b = raw[i]
+        if b == 0x25:  # '%'
+            if i + 2 >= n or chr(raw[i + 1]) not in _HEX or chr(raw[i + 2]) not in _HEX:
+                bad = raw[i : i + 3].decode("utf-8", "surrogateescape")
+                raise ValueError(f'invalid URL escape "{bad}"')
+            out.append(int(raw[i + 1 : i + 3].decode(), 16))
+            i += 3
+        else:
+            out.append(b)
+            i += 1
+    return out.decode("utf-8", "surrogateescape")
 
 
 @dataclass
@@ -84,6 +113,20 @@ class GoURL:
         if colon >= 0 and ":" not in h[:colon]:  # host:port with empty port
             return h[:colon]
         return h
+
+    def path_decoded(self) -> str:
+        """Go's ``URL.Path`` field: the percent-DECODED path. ``parse_url``
+        keeps the raw string in ``.path`` (which matches Go's ``String()``
+        rendering whenever the raw form is a valid encoding — Go preserves
+        ``RawPath`` then); the decoded view is what path-content consumers
+        like ``fileNameFromURL`` see in the reference. Invalid escapes fall
+        back to the raw path — Go would have failed the whole ``url.Parse``
+        upstream and dropped the link; keeping the raw string is this
+        engine's documented deviation (pinned in tests/test_urlkit.py)."""
+        try:
+            return path_unescape(self.path)
+        except ValueError:
+            return self.path
 
     def request_uri(self) -> str:
         """Go ``URL.RequestURI()``: path (or "/") plus ?query if present."""
@@ -162,10 +205,15 @@ def smallest_substr_right(s: str, delimiter: str) -> str:
 
 
 def file_name_from_url(u: GoURL | str) -> str:
-    """Reference ``fileNameFromURL`` (``libcrawl/util_url.go:13-19``)."""
+    """Reference ``fileNameFromURL`` (``libcrawl/util_url.go:13-19``).
+
+    Operates on the percent-DECODED path like Go's ``url.Path`` (so
+    ``a%2Fb.jpg`` yields ``b.jpg`` — the ``%2F`` becomes a path separator
+    before the last-``/`` split, and ``img%20x.jpg`` names the file with a
+    real space), not the raw rendering."""
     if isinstance(u, str):
         u = parse_url(u)
-    name = smallest_substr_right(u.path, "/")
+    name = smallest_substr_right(u.path_decoded(), "/")
     if "/" in name:  # os.PathSeparator check; unreachable post-split on unix
         return ""
     return name
