@@ -54,6 +54,7 @@ def main() -> None:
         "levels": levels,
         "timings": {c: results[c]["timings"] for c in levels},
         "throughput": {c: results[c]["throughput"] for c in levels},
+        "exchange_bytes": {c: results[c].get("exchange_bytes", {}) for c in levels},
         "efficiency": {
             f"{a}->{b}": {q: eff((a, b), q) for q in queries} for a, b in pairs
         },
@@ -112,6 +113,29 @@ def main() -> None:
             f"| {m} | {results[2]['throughput'][m]:,.0f} | "
             f"{results[8]['throughput'][m]:,.0f} | {results[32]['throughput'][m]:,.0f} |"
         )
+    xb32 = results[32].get("exchange_bytes", {})
+    if xb32:
+        lines += [
+            "",
+            "Measured exchange payload (shuffle bytes written per run, from the",
+            "status REST API) at 32c — the direct evidence for what each",
+            "politeness plan pushes through the sort exchange:",
+            "",
+            "| stage | shuffle bytes/run @32c |",
+            "|---|---|",
+        ]
+        for q, b in xb32.items():
+            lines.append(f"| {q} | {b:,} |")
+        wide = xb32.get("crawl_pipeline")
+        narrow = xb32.get("crawl_pipeline_bcast")
+        if wide and narrow and narrow > 0:
+            lines += [
+                "",
+                f"broadcast_topk moves **{wide / narrow:.1f}x fewer bytes** "
+                "through the exchange than the full-row single-pass rank "
+                "(the wide frontier never shuffles; only the narrow "
+                "projection's WindowGroupLimit survivors do).",
+            ]
     lines += [
         "",
         "## Why 8 -> 32 flattens on one box",
