@@ -465,7 +465,15 @@ class CrawlDriver:
         if cfg.compact_every > 0 and (r + 1) % cfg.compact_every == 0:
             for t in ("seen", "fetch_log", "fetched", "metrics", "downloads"):
                 if t in sids:  # frontier is a full overwrite (1 dir) already
-                    sids[t] = self.wh.compact(t, sids[t], meta={"round": r})
+                    # round-partitioned rewrite: the append chain is already
+                    # round-clustered (one dir per round); partitioning the
+                    # merged rewrite keeps per-round FILE pruning for round-
+                    # filtered readers (result readers, resume paths) after
+                    # compaction erases the dir-per-round layout. Tables
+                    # without a round column compact unpartitioned.
+                    sids[t] = self.wh.compact(
+                        t, sids[t], meta={"round": r}, partition_by=("round",)
+                    )
 
         n_next = self.wh.read("frontier", sids["frontier"]).count()
         n_sched = self.wh.read("fetch_log", sids["fetch_log"]).filter(

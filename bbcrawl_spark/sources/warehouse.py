@@ -98,25 +98,37 @@ class Warehouse:
         return f"s{nid:05d}"
 
     def _new_snapshot(self, table: str, df: DataFrame, parent_dirs: list[str],
-                      meta: dict | None) -> str:
+                      meta: dict | None,
+                      partition_by: tuple[str, ...] = ()) -> str:
         man = self._manifest(table)
         sid = self._next_sid(man)
         data_dir = os.path.join(self._table_dir(table), "data", sid)
-        df.write.mode("overwrite").parquet(data_dir)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
         man["snapshots"][sid] = {
             "dirs": parent_dirs + [data_dir],
             "parent": man["current"],
             "ts": time.time(),
             "meta": meta or {},
         }
+        if partition_by:
+            # per-DIR layout: a snapshot's dir list mixes dirs written by
+            # different snapshots; each dir's layout is fixed at ITS write
+            # time, so the reader groups by layout (see read())
+            man.setdefault("dir_layout", {})[data_dir] = list(partition_by)
         man["current"] = sid
         _atomic_write_json(self._manifest_path(table), man)
         return sid
 
-    def write(self, table: str, df: DataFrame, meta: dict | None = None) -> str:
+    def write(self, table: str, df: DataFrame, meta: dict | None = None,
+              partition_by: tuple[str, ...] = ()) -> str:
         """Overwrite: new snapshot containing only df (old snapshots remain
-        readable via time travel until expired)."""
-        return self._new_snapshot(table, df, [], meta)
+        readable via time travel until expired). ``partition_by`` writes
+        hive-style partition dirs so round/bucket filters prune FILES, not
+        just manifest dirs (Iceberg partition-pruning analogue)."""
+        return self._new_snapshot(table, df, [], meta, partition_by)
 
     def append(
         self,
@@ -144,21 +156,32 @@ class Warehouse:
 
     # -- maintenance (Iceberg rewrite_data_files / expire_snapshots) -------
     def compact(self, table: str, snapshot_id: str | None = None,
-                meta: dict | None = None) -> str:
+                meta: dict | None = None,
+                partition_by: tuple[str, ...] = ()) -> str:
         """Rewrite a snapshot's dir chain into ONE data dir (same rows).
 
         The new snapshot is a normal child of ``current``; appends chain off
         it afterwards, so a crawl that compacts every K rounds reads any
         table through O(K) dirs instead of O(rounds). Old snapshots stay
         readable until expired.
+
+        ``partition_by`` re-clusters the rewrite into hive partition dirs
+        (Iceberg ``rewrite_data_files`` with a partition spec): the append
+        chain arrives naturally round-clustered (one dir per round), and a
+        round-partitioned rewrite PRESERVES per-round file pruning after the
+        dirs merge — a filter on the partition column reads only its
+        partition's files (pinned by plan assertion in tests). Columns not
+        present in the table are ignored so one call site can cover tables
+        with heterogeneous schemas.
         """
         man = self._manifest(table)
         sid = snapshot_id or man["current"]
         if sid is None:
             raise FileNotFoundError(f"table {table!r} has no committed snapshot")
         df = self.read(table, sid)
+        part = tuple(c for c in partition_by if c in df.columns)
         return self._new_snapshot(
-            table, df, [], {**(meta or {}), "compaction_of": sid}
+            table, df, [], {**(meta or {}), "compaction_of": sid}, part
         )
 
     def expire_snapshots(self, table: str, keep: set[str]) -> dict:
@@ -198,6 +221,8 @@ class Warehouse:
         for snap in man["snapshots"].values():
             if snap.get("parent") not in man["snapshots"]:
                 snap["parent"] = None  # expired ancestor: lineage root now
+        for d in removed_dirs:
+            man.get("dir_layout", {}).pop(d, None)
         _atomic_write_json(self._manifest_path(table), man)
         for d in removed_dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -210,7 +235,22 @@ class Warehouse:
         if sid is None:
             raise FileNotFoundError(f"table {table!r} has no committed snapshot")
         dirs = man["snapshots"][sid]["dirs"]
-        return self.spark.read.parquet(*dirs)
+        layouts = man.get("dir_layout", {})
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for d in dirs:
+            groups.setdefault(tuple(layouts.get(d, ())), []).append(d)
+        if len(groups) == 1:
+            return self.spark.read.parquet(*dirs)
+        # mixed layouts (partitioned compaction + later plain appends):
+        # Spark refuses one multi-root read over conflicting directory
+        # structures, so read each layout group separately and unionByName
+        # (partitioned reads surface partition cols LAST; unionByName
+        # realigns). Filters still prune files inside the partitioned group.
+        out: DataFrame | None = None
+        for key in sorted(groups):
+            part = self.spark.read.parquet(*groups[key])
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def read_delta(self, table: str, snapshot_id: str) -> DataFrame:
         """Only the rows ADDED by ``snapshot_id`` (its own data dir, not the
