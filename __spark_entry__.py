@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from bbcrawl_spark import pagers
 from bbcrawl_spark.functions import udfs
-from bbcrawl_spark.operators import politeness, priority, similarity, textops
+from bbcrawl_spark.operators import (
+    graphops,
+    politeness,
+    priority,
+    similarity,
+    textops,
+)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -86,6 +92,33 @@ _STOP_EN = textops._STOPWORDS["en"]
 
 def _sw_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in textops._STOPWORDS[lang]) + "]"
+
+
+#: shared DuckDB CTE chain producing ``jpairs(id_a, id_b, jac)`` — the
+#: ngram-Jaccard near-dup edges over ``documents``; reused by the pair
+#: oracle and the cluster-resolution oracle so both stay in lockstep
+_JACCARD_CTES = f"""
+            toks AS (
+              SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS t FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(generate_series(1, len(t) - 2),
+                                         i -> array_to_string(t[i:i+2], ' '))
+                     ELSE [array_to_string(t, ' ')] END)) AS shingle
+              FROM toks),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            jpairs AS (
+              SELECT id_a, id_b,
+                     n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) AS jac
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.2)"""
 
 
 # ---------------------------------------------------------------------------
@@ -355,6 +388,36 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: ngram-Jaccard pairs -> transitive
+    closure (connected components, min-label + pointer jumping) -> keep
+    manifest. The step every pair-producing dedup needs before a corpus can
+    actually be deduplicated (A≈B, B≈C => one survivor of {A,B,C})."""
+    d = _read(spark, sf_dir, "documents")
+    pairs = textops.ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    out = graphops.dedup_clusters(d, pairs)
+    return out.select(
+        "doc_id", "cluster_id", F.col("keep").cast("int").alias("keep_int")
+    )
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data curation chain over documents: quality gate
+    (Gopher-style) -> language ID -> exact dedup (first doc_id per
+    normalized text wins) -> per-language corpus rollup. One scan, one
+    window, one agg — the shape a 100-TB curation pass wants."""
+    d = _read(spark, sf_dir, "documents")
+    scored = textops.langid(textops.quality_score(d)).filter("q_keep")
+    w = Window.partitionBy(textops.normalized("text")).orderBy("doc_id")
+    ded = (
+        scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    )
+    return ded.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("q_n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -564,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": q_langid_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_clusters_docs": q_dedup_clusters_docs,
+        "corpus_clean": q_corpus_clean,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -802,26 +867,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5({_NORM_SQL}) AS fp_md5 FROM documents
         """,
         "ngram_jaccard_pairs": f"""
-            WITH toks AS (
-              SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS t FROM documents),
-            sh AS (
-              SELECT doc_id, unnest(list_distinct(
-                CASE WHEN len(t) >= 3
-                     THEN list_transform(generate_series(1, len(t) - 2),
-                                         i -> array_to_string(t[i:i+2], ' '))
-                     ELSE [array_to_string(t, ' ')] END)) AS shingle
-              FROM toks),
-            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id)
+            WITH {_JACCARD_CTES}
             SELECT id_a, id_b,
-                   CAST(floor(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) * 100000) AS BIGINT) AS jaccard_100k
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+                   CAST(floor(jac * 100000) AS BIGINT) AS jaccard_100k
+            FROM jpairs
+        """,
+        # transitive closure by recursive label flooding: every node collects
+        # every label in its component; MIN per node = the component's min id
+        # (exactly the Spark operator's cluster_id). Terminates because the
+        # recursive UNION dedups (reach rows are a finite set).
+        "dedup_clusters_docs": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM jpairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM jpairs),
+            reach(id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.id)
+            SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+                   CAST(id = MIN(lbl) AS INT) AS keep_int
+            FROM reach GROUP BY id
+        """,
+        # the flagship curation chain: quality gate -> langid -> exact dedup
+        # (first doc_id per normalized text) -> per-language rollup; composed
+        # from the same expressions as the individual oracles above
+        "corpus_clean": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     len(string_split_regex({_NORM_SQL}, '\\s+')) AS n_tok,
+                     length({_NORM_SQL})::DOUBLE AS n_chars,
+                     len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct,
+                     len(list_filter(string_split_regex({_NORM_SQL}, '\\s+'),
+                                     t -> list_contains({sw_en}, t)))::DOUBLE AS sw,
+                     {", ".join(f"{langid_ratio[lang]} AS r_{lang}" for lang in sorted(textops._STOPWORDS))}
+              FROM documents),
+            scored AS (
+              SELECT doc_id, text, n_tok,
+                     (n_tok >= 5 AND n_chars / greatest(n_tok, 1) >= 2.0
+                      AND n_chars / greatest(n_tok, 1) <= 12.0
+                      AND n_punct / greatest(length(text), 1) <= 0.3
+                      AND sw / greatest(n_tok, 1) >= 0.01) AS keep,
+                     CASE WHEN {best} <= 0 THEN 'und'
+                          {' '.join(f"WHEN r_{lang} = {best} THEN '{lang}'" for lang in sorted(textops._STOPWORDS)[:-1])}
+                          ELSE '{sorted(textops._STOPWORDS)[-1]}' END AS lang_pred
+              FROM base),
+            ded AS (
+              SELECT lang_pred, n_tok,
+                     ROW_NUMBER() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id) AS rn
+              FROM scored WHERE keep)
+            SELECT lang_pred, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM ded WHERE rn = 1 GROUP BY lang_pred
         """,
         "embedding_knn": """
             SELECT query_id, vec_id,
