@@ -33,6 +33,35 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["connected_components", "dedup_clusters"]
 
 
+class _CheckpointHandle:
+    """Releasable handle to a ``localCheckpoint``'s persisted RDD blocks.
+
+    ``DataFrame.unpersist()`` only clears CacheManager entries (``.cache()``/
+    ``.persist()``); a localCheckpoint pins RDD-level blocks that the public
+    DataFrame API cannot release. The handle tracks the checkpoint's RDD ids
+    (diffed from ``getPersistentRDDs`` around the eager checkpoint call —
+    sound while the driver thread is the only one creating checkpoints,
+    which is this engine's execution model) and unpersists them via the
+    JVM handles. Blocks also free on GC; the handle just makes it prompt.
+    """
+
+    def __init__(self, jsc, rdd_ids: set[int]):
+        self._jsc = jsc
+        self._ids = rdd_ids
+
+    def unpersist(self, blocking: bool = False) -> None:
+        m = self._jsc.getPersistentRDDs()
+        for rid in self._ids:
+            rdd = m.get(rid)
+            if rdd is not None:
+                rdd.unpersist(blocking)
+        self._ids = set()
+
+
+def _persistent_ids(jsc) -> set[int]:
+    return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -40,6 +69,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "doc_id",
     max_iter: int = 25,
+    cache: list | None = None,
 ) -> DataFrame:
     """Resolve ``edges`` into components: returns (``node_col``,
     ``cluster_id``) where cluster_id = the component's minimum node id.
@@ -48,7 +78,16 @@ def connected_components(
     with no dup pair — which come back as singleton clusters
     (cluster_id = own id); without it only nodes appearing in edges are
     labeled. Node ids must be non-null and totally ordered (longs here).
+
+    Memory hygiene (the round-2 ``persist`` lesson): each round's
+    ``localCheckpoint`` is eager, so the PREVIOUS round's blocks are
+    unpersisted as soon as the new one materializes — at most one
+    label-table copy is pinned at any time. The FINAL checkpoint backs the
+    returned DataFrame and cannot be freed here; pass ``cache`` (a list)
+    to receive it and ``unpersist()`` after consuming the result, else its
+    blocks free on GC.
     """
+    jsc = edges.sparkSession.sparkContext._jsc
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     ids = sym.select(F.col("u").alias("id")).distinct()
@@ -56,7 +95,9 @@ def connected_components(
         ids = ids.unionByName(
             nodes.select(F.col(node_col).alias("id"))
         ).distinct()
+    pre = _persistent_ids(jsc)
     labels = ids.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    backing = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
 
     for _ in range(max_iter):
         nbr_min = (
@@ -83,12 +124,18 @@ def connected_components(
             )
         )
         new_labels = jumped.select("id", "lbl", (F.col("lbl") != F.col("_old")).alias("_chg"))
-        new_labels = new_labels.localCheckpoint()  # truncate iterative lineage
+        pre = _persistent_ids(jsc)
+        new_labels = new_labels.localCheckpoint()  # eager; truncates lineage
+        new_backing = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
+        backing.unpersist()  # previous round's copy is dead now
+        backing = new_backing
         changed = new_labels.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
         labels = new_labels.select("id", "lbl")
         if changed == 0:
             break
 
+    if cache is not None:
+        cache.append(backing)
     return labels.select(F.col("id").alias(node_col), F.col("lbl").alias("cluster_id"))
 
 
@@ -98,6 +145,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    cache: list | None = None,
 ) -> DataFrame:
     """Corpus-level dedup resolution: every document mapped to its duplicate
     cluster, with the keep/drop decision made (keep = the cluster's min id —
@@ -108,7 +156,8 @@ def dedup_clusters(
     is the removal manifest with full lineage to the surviving doc.
     """
     cc = connected_components(
-        pairs, src=src, dst=dst, nodes=docs.select(id_col), node_col=id_col
+        pairs, src=src, dst=dst, nodes=docs.select(id_col), node_col=id_col,
+        cache=cache,
     )
     return cc.select(
         id_col, "cluster_id", (F.col(id_col) == F.col("cluster_id")).alias("keep")

@@ -457,11 +457,33 @@ def minhash_lsh_pairs(
 
 
 def minhash_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", **kw
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: list | None = None,
+    **kw,
 ) -> DataFrame:
+    """Deduplicated corpus: MinHash-LSH pairs -> transitive cluster
+    resolution -> keep the min-id representative per duplicate cluster.
+
+    The former rule ("drop every id_b") was not transitively correct:
+    pairs (A,C) and (B,C) dropped only C and kept BOTH A and B even though
+    A≈C≈B chains them into one cluster. Connected components makes the
+    survivor set principled and deterministic.
+
+    ``cache`` receives the label table's checkpoint backing for explicit
+    ``unpersist()`` after the result is consumed (else freed on GC) — see
+    ``graphops.connected_components``.
+    """
+    from bbcrawl_spark.operators import graphops
+
     pairs = minhash_lsh_pairs(df, id_col, text_col, **kw)
-    dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(dupes, id_col, "left_anti")
+    keep = (
+        graphops.dedup_clusters(df, pairs, id_col=id_col, cache=cache)
+        .filter("keep")
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------

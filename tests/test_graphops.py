@@ -77,6 +77,23 @@ class TestConnectedComponents:
             assert got == want, f"trial {trial}"
 
 
+class TestMemoryHygiene:
+    def test_only_final_checkpoint_survives_and_cache_frees_it(self, spark):
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(31)], "id_a long, id_b long"
+        )
+        bc: list = []
+        out = graphops.connected_components(e, cache=bc)
+        assert out.count() == 32
+        # intermediate rounds were unpersisted inside the loop: at most the
+        # one handed-back backing remains
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before + 1
+        for d in bc:
+            d.unpersist()
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
 class TestDedupClusters:
     def test_keep_flag_marks_min_representative(self, spark):
         docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")

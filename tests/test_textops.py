@@ -151,12 +151,38 @@ class TestMinHash:
     def test_dedup_leaves_no_cached_state(self, spark):
         # Regression: the former self-join persisted the signature DF and
         # never unpersisted it — every dedup call pinned executor memory for
-        # the session. The single-pass bucketed shape needs no cache at all.
+        # the session. The pair path needs no cache at all; the cluster
+        # resolution hands its one checkpoint back via `cache` for explicit
+        # release (intermediate rounds are freed inside the loop).
         before = spark.sparkContext._jsc.getPersistentRDDs().size()
         df = _docs_df(spark, NEAR_DUP_TEXTS)
-        textops.minhash_dedup(df, threshold=0.4).count()
+        bc: list = []
+        textops.minhash_dedup(df, threshold=0.4, cache=bc).count()
         textops.minhash_lsh_pairs(df, threshold=0.4).count()
+        for d in bc:
+            d.unpersist()
         assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+    def test_dedup_is_transitively_correct(self, spark):
+        """A≈C and B≈C (but A,B found only via C) must leave ONE survivor.
+        The old drop-id_b rule kept both A and B."""
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        texts = [
+            base + " alpha tail",          # 0: ≈ 2
+            base + " bravo tail",          # 1: ≈ 2
+            base + " tail",                # 2: hub
+            "completely different text about spark shuffles and parquet files",
+        ]
+        df = _docs_df(spark, texts)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in textops.minhash_lsh_pairs(df, threshold=0.4).collect()
+        }
+        assert (0, 2) in pairs and (1, 2) in pairs
+        kept = sorted(
+            r["doc_id"] for r in textops.minhash_dedup(df, threshold=0.4).collect()
+        )
+        assert kept == [0, 3]
 
     def test_lsh_pairs_bucket_cap_is_lower_bound(self, spark):
         # an exact-duplicate cluster of 4 collides in EVERY band bucket;
