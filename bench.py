@@ -16,6 +16,8 @@ Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
                          page — what the round loop runs)
   exact_dedup_docs       hash-window dedup over documents
   minhash_dedup          MinHash+LSH near-dup dedup over documents
+                         (round-3: transitively correct via cluster resolution)
+  dedup_clusters         pair list -> connected-components keep/drop manifest
   minhash_signatures     the vectorized signature kernel alone
   ngram_jaccard          exact shingle-join Jaccard pairs over documents
   embedding_knn          brute-force cosine top-10, 5 queries x embeddings
@@ -199,6 +201,20 @@ def main() -> None:
         "ngram_jaccard",
         lambda: textops.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50).count(),
     )
+
+    # cluster resolution: pair list -> transitive keep/drop manifest
+    # (connected components, min-label + pointer jumping; round-3 operator)
+    def dedup_clusters():
+        from bbcrawl_spark.operators import graphops
+
+        pairs = textops.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
+        bc: list = []
+        n = graphops.dedup_clusters(docs, pairs, cache=bc).filter("NOT keep").count()
+        for h in bc:
+            h.unpersist()
+        return n
+
+    timed("dedup_clusters", dedup_clusters)
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
