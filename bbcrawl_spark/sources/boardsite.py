@@ -87,6 +87,8 @@ def make_board_site(
     attachment_pages: bool = False,
     charset_mix: bool = False,
     redirect_pages: bool = False,
+    posts_per_page: int = 2,
+    words_per_post: int = 0,
 ) -> BoardSite:
     """``attachment_pages=True`` additionally adds the vb attachment URLs to
     the pages table as fetchable binary resources carrying Content-Disposition
@@ -102,6 +104,12 @@ def make_board_site(
     ``redirect_pages=True`` marks a deterministic subset of pages with
     n_redirects 3 (Log-policy-ok, Deny-blocked) and 12 (blocked by both) —
     the P6 redirect-gate input (libhttp/redirect/redirect.go:16-33).
+
+    ``posts_per_page`` / ``words_per_post`` size each page realistically
+    (a typical forum page is 25 posts × tens of words ≈ 15-50 KB of HTML;
+    the 2-post default keeps the golden e2e fixtures byte-stable). Filler
+    words are a pure function of (post number, word index) — deterministic
+    regardless of generation order.
     """
     rng = random.Random(seed)
     site = BoardSite()
@@ -122,7 +130,8 @@ def make_board_site(
                     )
                     html = _thread_page_html(
                         rng, hostnames, host, b, t, p, threads, pages_per_thread,
-                        extra_text=extra,
+                        extra_text=extra, posts_per_page=posts_per_page,
+                        words_per_post=words_per_post,
                     )
                     if variant == 1:  # Content-Type charset wins
                         body = html.encode("cp1252")
@@ -188,6 +197,15 @@ def make_board_site(
     return site
 
 
+#: deterministic filler vocabulary for realistic page sizing
+_VOCAB = (
+    "forum discussion reply quote thread sticky moderator avatar signature "
+    "posted edited attachment download upload image video audio link page "
+    "board topic member guest online offline search profile message private "
+    "notification subscribe archive index recent popular trending announcement"
+).split()
+
+
 def _thread_page_html(
     rng: random.Random,
     hostnames: list[str],
@@ -198,6 +216,8 @@ def _thread_page_html(
     threads: int,
     pages_per_thread: int,
     extra_text: str = "",
+    posts_per_page: int = 2,
+    words_per_post: int = 0,
 ) -> str:
     links: list[str] = []
     if p < pages_per_thread:
@@ -220,7 +240,7 @@ def _thread_page_html(
         links.append('<a href="/b0/secret/0">Secret</a>')
 
     posts = []
-    for pi in range(2):
+    for pi in range(posts_per_page):
         post_no = 100 * p + pi
         atts = ""
         if (p + pi) % 2 == 0:
@@ -228,9 +248,15 @@ def _thread_page_html(
                 f'<a id="attachment{pi + 1}" '
                 f'href="/att/{b}/{t}/{p}/{pi}/file{pi}.pdf">att</a>'
             )
+        filler = ""
+        if words_per_post > 0:
+            filler = " " + " ".join(
+                _VOCAB[(post_no * 31 + w * 7) % len(_VOCAB)]
+                for w in range(words_per_post)
+            )
         posts.append(
             f'<div id="post_{post_no}"><p>Post {post_no} of thread {t} '
-            f"board {b} on {host}, page {p}. {extra_text}</p>{atts}</div>"
+            f"board {b} on {host}, page {p}. {extra_text}{filler}</p>{atts}</div>"
         )
 
     return (

@@ -142,8 +142,14 @@ def main() -> None:
 
     # --- extraction over synthetic board pages -----------------------------
     # replicate pages so per-task Arrow/worker overhead amortizes and the
-    # number reflects sustained extraction throughput
-    site = make_board_site(hosts=4, boards=4, threads=8, pages_per_thread=4)
+    # number reflects sustained extraction throughput. Pages are sized like
+    # real forum pages (25 posts x 60 words ~= 15-20 KB of HTML) — on the
+    # tiny 2-post fixture, walk + Arrow overhead dominates and hides the
+    # decode+parse cost the fused UDF exists to halve.
+    site = make_board_site(
+        hosts=4, boards=4, threads=8, pages_per_thread=4,
+        posts_per_page=25, words_per_post=60,
+    )
     PAGE_MULT = 40 * SCALE
     pages_df = (
         site.to_df(spark)
@@ -156,10 +162,14 @@ def main() -> None:
     def extract_pages():
         ct = F.lit(udfs.CT_DEFAULT)
         out = pages_df.select(
-            udfs.extract_text_udf("html", ct).alias("text"),
+            F.length(udfs.extract_text_udf("html", ct)).alias("text_len"),
             F.size(udfs.extract_links_udf("html", "url", ct)).alias("n_links"),
         )
-        assert out.agg(F.sum("n_links")).first()[0] > 0
+        # aggregate BOTH outputs: summing only n_links lets Catalyst prune
+        # the text UDF entirely and the 'split' row silently measures half
+        # the work (the round-2 branch-pruning trap, resurfaced)
+        row = out.agg(F.sum("text_len"), F.sum("n_links")).first()
+        assert row[0] > 0 and row[1] > 0
     timed("extract_pages", extract_pages)
     extras["n_pages_extracted"] = n_pages
     extras["extract_pages_per_sec"] = round(n_pages / timings["extract_pages"], 1)
@@ -172,9 +182,10 @@ def main() -> None:
         out = pages_df.select(
             fused("html", "url", F.lit(0), ct).alias("_ex")
         ).select(
-            F.length("_ex.text").alias("tl"), F.size("_ex.links").alias("n_links")
+            F.length("_ex.text").alias("text_len"), F.size("_ex.links").alias("n_links")
         )
-        assert out.agg(F.sum("n_links")).first()[0] > 0
+        row = out.agg(F.sum("text_len"), F.sum("n_links")).first()
+        assert row[0] > 0 and row[1] > 0
     timed("extract_fused", extract_fused)
     extras["extract_fused_pages_per_sec"] = round(n_pages / timings["extract_fused"], 1)
     extras["extract_fused_speedup_vs_split"] = round(

