@@ -208,3 +208,26 @@ class TestAttrsTokenizerLaws:
             assert not dangling
         except ValueError:
             assert dangling
+
+
+class TestPathUnescapeLaws:
+    """Go unescape(s, encodePath) twin (urlkit.path_unescape)."""
+
+    @given(st.text(min_size=0, max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def test_encode_then_decode_roundtrips(self, s):
+        # percent-encode every byte, decode -> original (Go parity: decode
+        # accepts any %XX, uppercase or lowercase hex)
+        enc = "".join(f"%{b:02X}" for b in s.encode("utf-8", "surrogateescape"))
+        assert urlkit.path_unescape(enc) == s
+        enc_lower = "".join(f"%{b:02x}" for b in s.encode("utf-8", "surrogateescape"))
+        assert urlkit.path_unescape(enc_lower) == s
+
+    @given(st.text(alphabet=st.characters(blacklist_characters="%"), max_size=60))
+    @settings(max_examples=100, deadline=None)
+    def test_percent_free_is_identity(self, s):
+        assert urlkit.path_unescape(s) == s
+
+    def test_single_pass_like_go(self):
+        # decoding is single-pass like Go's: %2541 -> '%41' (NOT 'A')
+        assert urlkit.path_unescape("%2541") == "%41"
