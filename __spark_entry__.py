@@ -270,6 +270,45 @@ def q_robots_prefix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.join(blocked, "event_id", "left_anti").select("event_id", "url")
 
 
+#: full-REP rules over the synthetic URL table: Allow carve-out under a
+#: Disallow (longest-match precedence), '*' wildcards, '$' end anchor —
+#: the regex column on BOTH engines is generated by robots.robots_regex
+_ROBOTS_FULL_RULES = [
+    ("forum1.example.com", "/b0", False),
+    ("forum1.example.com", "/b0/t1", True),  # longer Allow wins inside /b0
+    ("forum2.example.com", "/b*/t1", False),  # wildcard board
+    ("cdn1.example.net", "/f/*.jpg", False),  # wildcard + literal dot
+    ("cdn2.example.net", "/f/9$", False),  # exactly /f/9, not /f/9x
+]
+
+
+def _robots_full_values() -> str:
+    """DuckDB VALUES rows for the full-REP oracle — regexes from the SAME
+    robots_regex translation the Spark rules table uses (twin lockstep)."""
+    from bbcrawl_spark.operators import robots
+
+    return ", ".join(
+        f"('{h}', {str(a).upper()}, {len(p)}, '{robots.robots_regex(p)}')"
+        for h, p, a in _ROBOTS_FULL_RULES
+    )
+
+
+def q_robots_full_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 full REP: Allow/Disallow with longest-match precedence (allow wins
+    ties) and '*'/'$' wildcards, per RFC 9309 / the Google spec."""
+    from bbcrawl_spark.operators import robots
+
+    u = _events_urls(spark, sf_dir)
+    rules = spark.createDataFrame(
+        [
+            (h, p, a, len(p), robots.robots_regex(p))
+            for h, p, a in _ROBOTS_FULL_RULES
+        ],
+        "host string, pattern string, allow boolean, plen int, rx string",
+    )
+    return robots.robots_gate_full(u, rules).select("event_id", "url")
+
+
 def q_header_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9: Content-Disposition filename extraction as a column expr."""
     d = _read(spark, sf_dir, "documents")
@@ -618,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": q_metrics_rollup,
         "redirect_policy": q_redirect_policy,
         "robots_prefix_gate": q_robots_prefix_gate,
+        "robots_full_gate": q_robots_full_gate,
         "header_filename": q_header_filename,
         "vb_headername_complete": q_vb_headername_complete,
         "priority_score": q_priority_score,
@@ -747,6 +787,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id NOT IN (
                 SELECT d.event_id FROM d JOIN rules ON d.host = rules.r_host
                 WHERE starts_with(d.path, rules.disallow_prefix))
+        """,
+        "robots_full_gate": f"""
+            {_URL_CTE},
+            d AS (SELECT event_id, url,
+                    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), ':[0-9]+$', '') AS host,
+                    CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) = ''
+                         THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) END AS path
+                  FROM u),
+            rules AS (SELECT * FROM (VALUES {_robots_full_values()}) AS r(r_host, allow, plen, rx)),
+            m AS (SELECT d.event_id, r.allow,
+                         ROW_NUMBER() OVER (PARTITION BY d.event_id
+                                            ORDER BY r.plen DESC, r.allow DESC) AS rn
+                  FROM d JOIN rules r
+                    ON d.host = r.r_host AND regexp_matches(d.path, r.rx))
+            SELECT event_id, url FROM d
+            WHERE event_id NOT IN (SELECT event_id FROM m WHERE rn = 1 AND NOT allow)
         """,
         "header_filename": """
             SELECT doc_id,

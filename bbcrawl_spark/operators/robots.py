@@ -18,7 +18,16 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import host_of
 
-__all__ = ["parse_robots_txt", "robots_table", "robots_gate"]
+__all__ = [
+    "parse_robots_txt",
+    "robots_table",
+    "robots_gate",
+    "parse_robots_rules",
+    "robots_regex",
+    "robots_rules_table",
+    "robots_gate_full",
+    "robots_allowed_full_py",
+]
 
 
 def parse_robots_txt(txt: str, user_agent: str = "*") -> list[str]:
@@ -89,6 +98,129 @@ def robots_gate(frontier: DataFrame, robots: DataFrame, url_col: str = "url") ->
     return frontier.join(
         blocked, frontier[url_col] == blocked["_blocked_url"], "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# full REP matching (RFC 9309 / Google spec): Allow + Disallow, longest-match
+# precedence (allow wins ties), '*' any-sequence and '$' end-anchor wildcards
+# ---------------------------------------------------------------------------
+
+
+def parse_robots_rules(
+    txt: str, user_agent: str = "*"
+) -> list[tuple[str, bool]]:
+    """(pattern, allow) rules applying to ``user_agent`` — like
+    ``parse_robots_txt`` but keeping Allow lines and rule order."""
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, bool]] = []
+    in_group = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_group:
+                groups.append((agents, rules))
+                agents, rules = [], []
+                in_group = False
+            agents.append(val)
+        elif key in ("disallow", "allow"):
+            in_group = True
+            if val:
+                rules.append((val, key == "allow"))
+    if agents or rules:
+        groups.append((agents, rules))
+    for ag, rs in groups:
+        if user_agent in ag:
+            return rs
+    for ag, rs in groups:
+        if "*" in ag:
+            return rs
+    return []
+
+
+def robots_regex(pattern: str) -> str:
+    """REP path pattern -> anchored regex: ``*`` = any char sequence, a
+    TRAILING ``$`` = end-of-path anchor, everything else literal. The same
+    translation feeds the Spark rules table and the DuckDB oracle VALUES so
+    the twins cannot drift."""
+    import re as _re
+
+    anchored_end = pattern.endswith("$")
+    body = pattern[:-1] if anchored_end else pattern
+    out = "^"
+    for ch in body:
+        out += ".*" if ch == "*" else _re.escape(ch)
+    return out + ("$" if anchored_end else "")
+
+
+def robots_rules_table(
+    spark: SparkSession, robots_txts: dict[str, str], user_agent: str = "*"
+) -> DataFrame:
+    """(host, pattern, allow, plen, rx) — plen is the REP specificity key
+    (pattern length), rx the precompiled anchored regex."""
+    rows = [
+        (host, pat, allow, len(pat), robots_regex(pat))
+        for host, txt in robots_txts.items()
+        for pat, allow in parse_robots_rules(txt, user_agent)
+    ]
+    return spark.createDataFrame(
+        rows or [],
+        "host string, pattern string, allow boolean, plen int, rx string",
+    )
+
+
+def robots_gate_full(
+    frontier: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Full-REP gate: keep frontier rows whose most specific matching rule
+    is an Allow (or that match no rule).
+
+    Broadcast join on host (rules are a tiny dim), per-row ``regexp_like``
+    on the precompiled patterns, then one aggregation picking the verdict:
+    ``max(struct(plen, allow))`` implements longest-match with
+    allow-wins-ties ordering (struct compare is lexicographic; true > false).
+    All JVM-side; the frontier is scanned once and never shuffled — the agg
+    keys are the blocked minority after the match filter.
+    """
+    matched = (
+        frontier.select(F.col(url_col).alias("_u"))
+        .withColumn("_host", host_of(F.col("_u")))
+        .withColumn("_path", F.coalesce(F.parse_url("_u", F.lit("PATH")), F.lit("/")))
+        .join(F.broadcast(rules), F.col("_host") == rules["host"], "inner")
+        .filter(F.regexp_like(F.col("_path"), F.col("rx")))
+    )
+    verdict = matched.groupBy("_u").agg(
+        F.max(F.struct(F.col("plen"), F.col("allow"))).alias("_best")
+    )
+    blocked = verdict.filter(~F.col("_best.allow")).select(
+        F.col("_u").alias("_blocked_url")
+    )
+    return frontier.join(
+        blocked, frontier[url_col] == blocked["_blocked_url"], "left_anti"
+    )
+
+
+def robots_allowed_full_py(
+    url: str, rules: dict[str, list[tuple[str, bool]]]
+) -> bool:
+    """Pure-Python twin of ``robots_gate_full`` (oracle parity)."""
+    import re as _re
+
+    from .. import urlkit
+
+    u = urlkit.parse_url(url)
+    path = u.path or "/"
+    best: tuple[int, bool] | None = None
+    for pat, allow in rules.get(u.hostname().lower(), []):
+        if _re.match(robots_regex(pat), path):
+            key = (len(pat), allow)
+            if best is None or key > best:
+                best = key
+    return best is None or best[1]
 
 
 def robots_allowed_py(url: str, rules: dict[str, list[str]]) -> bool:

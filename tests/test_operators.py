@@ -357,6 +357,72 @@ Disallow: /
         assert robots.robots_allowed_py("http://b.ex/private/3", rdict)
 
 
+class TestRobotsFullREP:
+    """RFC 9309 / Google-spec matching: Allow precedence by longest match
+    (allow wins ties), '*' any-sequence, trailing '$' end anchor."""
+
+    TXT = """User-agent: *
+Disallow: /shop
+Allow: /shop/public
+Disallow: /*.pdf
+Disallow: /exact$
+Allow: /dual
+Disallow: /dual
+"""
+
+    def test_parse_keeps_allow_and_order(self):
+        rules = robots.parse_robots_rules(self.TXT)
+        assert ("/shop", False) in rules and ("/shop/public", True) in rules
+        assert ("/*.pdf", False) in rules and ("/exact$", False) in rules
+
+    @pytest.mark.parametrize(
+        "path,allowed",
+        [
+            ("/shop/item1", False),  # Disallow /shop
+            ("/shop/public/item", True),  # longer Allow carve-out wins
+            ("/docs/file.pdf", False),  # '*' wildcard
+            ("/docs/file.pdf.html", False),  # unanchored: matches anywhere
+            ("/exact", False),  # '$' anchor hits exactly
+            ("/exactly", True),  # ...but not a longer path
+            ("/dual/x", True),  # equal-length tie -> allow wins
+            ("/elsewhere", True),  # no rule -> allowed
+        ],
+    )
+    def test_matching_py_twin(self, path, allowed):
+        rules = {"a.ex": robots.parse_robots_rules(self.TXT)}
+        assert robots.robots_allowed_full_py(f"http://a.ex{path}", rules) == allowed
+
+    def test_gate_full_spark_agrees_with_twin(self, spark):
+        paths = [
+            "/shop/item1", "/shop/public/item", "/docs/file.pdf",
+            "/exact", "/exactly", "/dual/x", "/elsewhere",
+        ]
+        frontier = _url_df(spark, [f"http://a.ex{p}" for p in paths])
+        rules = robots.robots_rules_table(
+            spark, {"a.ex": self.TXT}
+        )
+        got = sorted(
+            r["url"] for r in robots.robots_gate_full(frontier, rules).collect()
+        )
+        pyrules = {"a.ex": robots.parse_robots_rules(self.TXT)}
+        want = sorted(
+            u for u in (f"http://a.ex{p}" for p in paths)
+            if robots.robots_allowed_full_py(u, pyrules)
+        )
+        assert got == want
+        assert "http://a.ex/shop/public/item" in got
+        assert "http://a.ex/shop/item1" not in got
+
+    def test_gate_full_plan_broadcasts_rules(self, spark):
+        frontier = _url_df(spark, ["http://a.ex/x"])
+        rules = robots.robots_rules_table(spark, {"a.ex": self.TXT})
+        plan = (
+            robots.robots_gate_full(frontier, rules)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 PRIORITY_CASES = [
     # (page, link, expected score)
     ("http://f.ex/threads/42/page3", "http://f.ex/threads/42/page4", 0),  # vb next
