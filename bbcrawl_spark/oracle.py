@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 
 from . import extract, urlkit
 from .operators.priority import priority_score_py
-from .operators.robots import robots_allowed_py
+from .operators.robots import robots_allowed_full_py, robots_allowed_py
 
 _PAGE_SUFFIX_RE = re.compile(r"/page([0-9]+)$")
 
@@ -92,6 +92,7 @@ def crawl_oracle(
     seeds: list[tuple],  # (url, seed_id, priority[, page_num])
     budget: int,
     robots: dict[str, list[str]] | None = None,
+    robots_full_rules: dict[str, list[tuple[str, bool]]] | None = None,
     excludes: set[str] | None = None,
     max_rounds: int = 100,
     follow_links: bool = True,
@@ -114,11 +115,16 @@ def crawl_oracle(
             break
         res.rounds = r + 1
         # 2. gates
+        def _robots_ok(url: str) -> bool:
+            if robots_full_rules is not None:
+                return robots_allowed_full_py(url, robots_full_rules)
+            return robots_allowed_py(url, robots)
+
         candidates = [
             e
             for e in frontier
             if e.url not in excludes
-            and robots_allowed_py(e.url, robots)
+            and _robots_ok(e.url)
             and e.url_hash not in res.seen
         ]
         # 3. per-host budget

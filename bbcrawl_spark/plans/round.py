@@ -50,7 +50,12 @@ from .. import extract as extract_mod
 from ..operators import dedup
 from ..operators.politeness import rank_fetch_slots
 from ..operators.priority import priority_score_col
-from ..operators.robots import robots_gate, robots_table
+from ..operators.robots import (
+    robots_gate,
+    robots_gate_full,
+    robots_rules_table,
+    robots_table,
+)
 from ..sources.warehouse import Warehouse
 
 FRONTIER_SCHEMA = (
@@ -78,6 +83,9 @@ class CrawlConfig:
     bloom_bits_per_key: int = 10
     excludes: tuple[str, ...] = ()
     robots: dict[str, str] = field(default_factory=dict)  # host -> robots.txt body
+    # False (default) = Disallow-prefix core; True = full RFC-9309 matching
+    # (Allow lines, longest-match precedence, '*'/'$' wildcards)
+    robots_full: bool = False
     user_agent: str = "*"
     metrics_partitions: int = 16  # per-partition lineage granularity
     # crawler family (reference -crawler flag): '' = text+links only;
@@ -197,9 +205,12 @@ class CrawlDriver:
         self.spark = spark
         self.cfg = cfg
         self.wh = Warehouse(spark, cfg.warehouse_root)
-        self._robots_df = (
-            robots_table(spark, cfg.robots, cfg.user_agent) if cfg.robots else None
-        )
+        if not cfg.robots:
+            self._robots_df = None
+        elif cfg.robots_full:
+            self._robots_df = robots_rules_table(spark, cfg.robots, cfg.user_agent)
+        else:
+            self._robots_df = robots_table(spark, cfg.robots, cfg.user_agent)
         self._excludes_df = (
             spark.createDataFrame([(u,) for u in cfg.excludes], "url string")
             if cfg.excludes
@@ -250,7 +261,8 @@ class CrawlDriver:
         if self._excludes_df is not None:
             cand = cand.join(F.broadcast(self._excludes_df), "url", "left_anti")
         if self._robots_df is not None:
-            cand = robots_gate(cand, self._robots_df)
+            gate = robots_gate_full if cfg.robots_full else robots_gate
+            cand = gate(cand, self._robots_df)
         bloom_spec = None
         if cfg.bloom_partitions > 0 and self.wh.round_snapshot(r - 1, "bloom_dir"):
             bloom_spec = dedup.BloomSpec(

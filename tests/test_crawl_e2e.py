@@ -452,3 +452,53 @@ class TestResume:
         d2 = _driver(spark, site, pages_path, drv.cfg.warehouse_root)
         s2 = d2.run()
         assert s1 == s2
+
+
+class TestRobotsFullE2E:
+    def test_full_rep_crawl_identical_to_oracle(
+        self, spark, site, pages_path, tmp_path
+    ):
+        """robots_full=True: Allow carve-out under a Disallow + '*' wildcard
+        flow through the round loop and match the sequential oracle's full-REP
+        twin exactly (crawl order + seen set)."""
+        from bbcrawl_spark.operators.robots import parse_robots_rules
+
+        robots_txts = {
+            # block board 1 except thread 0 — the cross-board entry link
+            # targets t0, so the carve-out is reachable while its sibling
+            # threads (linked only FROM t0's pages) stay blocked
+            "forum0.example": "User-agent: *\nDisallow: /b1\nAllow: /b1/t0\n"
+            "Disallow: /b0/secret\n",
+            # wildcard: block thread 2 on EVERY board of host 1
+            "forum1.example": "User-agent: *\nDisallow: /b*/t2\n"
+            "Disallow: /b0/secret\n",
+        }
+        full_rules = {h: parse_robots_rules(t) for h, t in robots_txts.items()}
+        want = oracle.crawl_oracle(
+            pages=site.pages,
+            seeds=site.seeds,
+            budget=2,
+            robots_full_rules=full_rules,
+            excludes=set(site.excludes),
+            max_rounds=20,
+        )
+        cfg = CrawlConfig(
+            pages_path=pages_path,
+            warehouse_root=str(tmp_path / "wh_rf"),
+            seeds=site.seeds,
+            budget=2,
+            max_rounds=20,
+            excludes=tuple(site.excludes),
+            robots=robots_txts,
+            robots_full=True,
+        )
+        drv = CrawlDriver(spark, cfg)
+        drv.run()
+        assert _order(drv) == want.crawl_order
+        assert {r["url_hash"] for r in drv.seen_set().collect()} == want.seen
+        urls = [u for _, u in want.crawl_order]
+        # the carve-out is reachable, its siblings are not (non-vacuous)
+        assert any("forum0.example/b1/t0" in u for u in urls)
+        assert not any("forum0.example/b1/t1" in u for u in urls)
+        assert not any("forum0.example/b1/t2" in u for u in urls)
+        assert not any("forum1.example" in u and "/t2" in u for u in urls)
