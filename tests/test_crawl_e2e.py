@@ -502,3 +502,86 @@ class TestRobotsFullE2E:
         assert not any("forum0.example/b1/t1" in u for u in urls)
         assert not any("forum0.example/b1/t2" in u for u in urls)
         assert not any("forum1.example" in u and "/t2" in u for u in urls)
+
+
+class TestStreamingAdapter:
+    """§2.11: the micro-batch adapter drives the same rounds with the same
+    commit barrier — including a mid-stream kill + resume — and can be wired
+    into a real Structured Streaming foreachBatch trigger."""
+
+    @pytest.fixture()
+    def msite(self):
+        return make_board_site(hosts=1, boards=1, threads=2, pages_per_thread=2)
+
+    def test_generator_rounds_with_midstream_resume(
+        self, spark, msite, tmp_path
+    ):
+        from bbcrawl_spark.streaming import micro_batch_rounds
+
+        pages = str(tmp_path / "pages")
+        msite.to_df(spark).write.parquet(pages)
+        robots = {h: parse_robots_txt(t) for h, t in msite.robots.items()}
+        want = oracle.crawl_oracle(
+            pages=msite.pages, seeds=msite.seeds, budget=2,
+            robots=robots, excludes=set(msite.excludes), max_rounds=20,
+        )
+
+        def mk():
+            return CrawlDriver(spark, CrawlConfig(
+                pages_path=pages, warehouse_root=str(tmp_path / "wh"),
+                seeds=msite.seeds, budget=2, max_rounds=20,
+                excludes=tuple(msite.excludes), robots=msite.robots,
+            ))
+
+        gen = micro_batch_rounds(mk())
+        first = next(gen)  # one micro-batch, then 'kill' the stream
+        assert first["round"] == 0
+        metas = list(micro_batch_rounds(mk()))  # new driver resumes
+        assert metas and metas[-1]["done"]
+        assert [m["round"] for m in metas][0] == 1  # no round re-ran
+        drv = mk()
+        assert _order(drv) == want.crawl_order
+        assert {r["url_hash"] for r in drv.seen_set().collect()} == want.seen
+
+    def test_foreachbatch_trigger_drives_rounds(self, spark, msite, tmp_path):
+        """A real readStream rate source triggers the crawl: each streaming
+        micro-batch advances one round via the adapter generator."""
+        from bbcrawl_spark.streaming import micro_batch_rounds
+
+        pages = str(tmp_path / "pages")
+        msite.to_df(spark).write.parquet(pages)
+        drv = CrawlDriver(spark, CrawlConfig(
+            pages_path=pages, warehouse_root=str(tmp_path / "whs"),
+            seeds=msite.seeds, budget=2, max_rounds=20,
+            excludes=tuple(msite.excludes), robots=msite.robots,
+        ))
+        gen = micro_batch_rounds(drv)
+        done = {"v": False}
+
+        def one_round(_df, _bid):
+            if not done["v"]:
+                meta = next(gen, None)
+                if meta is None or meta["done"]:
+                    done["v"] = True
+
+        q = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+            .writeStream.foreachBatch(one_round)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            import time as _t
+
+            deadline = _t.time() + 120
+            while not done["v"] and _t.time() < deadline:
+                _t.sleep(0.5)
+        finally:
+            q.stop()
+        assert done["v"], "stream never finished the crawl"
+        robots = {h: parse_robots_txt(t) for h, t in msite.robots.items()}
+        want = oracle.crawl_oracle(
+            pages=msite.pages, seeds=msite.seeds, budget=2,
+            robots=robots, excludes=set(msite.excludes), max_rounds=20,
+        )
+        assert _order(drv) == want.crawl_order
