@@ -227,6 +227,15 @@ def main() -> None:
 
     timed("dedup_clusters", dedup_clusters)
 
+    # flagship curation chain: quality gate -> langid -> exact dedup ->
+    # per-language rollup (oracle-checked in the driver gate)
+    def corpus_clean():
+        import __spark_entry__ as entry
+
+        return entry.q_corpus_clean(spark, SF_DIR).count()
+
+    timed("corpus_clean", corpus_clean)
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
