@@ -103,8 +103,17 @@ def connected_components(
         ids = ids.unionByName(
             nodes.select(F.col(node_col).alias("id"))
         ).distinct()
+    # seed each label with min(id, min neighbor) instead of the identity:
+    # star-shaped clusters (the typical near-dup shape — one hub, N spokes)
+    # then converge on the FIRST loop round's no-change check instead of
+    # needing a round to propagate and one more to confirm
+    nbr0 = sym.groupBy(F.col("v").alias("id0")).agg(F.min("u").alias("n0"))
+    seeded = (
+        ids.join(nbr0, ids["id"] == nbr0["id0"], "left")
+        .select("id", F.least(F.col("id"), F.coalesce("n0", "id")).alias("lbl"))
+    )
     pre = _persistent_ids(jsc)
-    labels = ids.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    labels = seeded.localCheckpoint()
     backing = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
 
     for _ in range(max_iter):
