@@ -1,0 +1,109 @@
+"""WARC source connector (sources/warc.py): framing, HTTP splitting, gzip,
+and pages-table equivalence with a crawl on top."""
+
+from __future__ import annotations
+
+import pytest
+
+from bbcrawl_spark.sources import warc
+from bbcrawl_spark.sources.boardsite import make_board_site
+
+DATE = "2024-01-01T00:00:00Z"
+
+
+class TestFraming:
+    def test_roundtrip_plain_and_gzip(self):
+        recs = [
+            ("http://a.ex/1", DATE, b"<html>one</html>", {"Content-Type": "text/html"}),
+            ("http://a.ex/2", DATE, b"\x00\xffbinary", {"Content-Type": "image/gif"}),
+        ]
+        for gz in (False, True):
+            data = warc.build_warc(recs, gzipped=gz)
+            got = list(warc.parse_warc(data))
+            assert [r["uri"] for r in got] == ["http://a.ex/1", "http://a.ex/2"]
+            bodies = [warc.http_response_parts(r["block"])[2] for r in got]
+            assert bodies == [b"<html>one</html>", b"\x00\xffbinary"]
+
+    def test_non_warc_raises(self):
+        with pytest.raises(ValueError, match="not a WARC record"):
+            list(warc.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n"))
+
+    def test_http_parts_headers_and_status(self):
+        block = (
+            b"HTTP/1.1 301 Moved\r\nLocation: http://b.ex/\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n\r\nbody"
+        )
+        status, hdrs, body = warc.http_response_parts(block)
+        assert status == 301
+        assert hdrs["content-type"] == "text/html; charset=utf-8"
+        assert body == b"body"
+
+    def test_chunked_body_dechunked(self):
+        block = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n"
+        )
+        assert warc.http_response_parts(block)[2] == b"Wikipedia"
+
+
+class TestReadWarcPages:
+    def test_pages_shape_and_redirect_hops(self, spark, tmp_path):
+        # two fetches of /r: a 302 hop then the 200 — n_redirects must be 1
+        raw = warc.build_warc(
+            [("http://a.ex/x", DATE, b"<html>x</html>",
+              {"Content-Type": "text/html; charset=utf-8"})]
+        )
+        hop = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://a.ex/r\r\n"
+            b"WARC-Date: 2024-01-01T00:00:01Z\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+        )
+        http302 = b"HTTP/1.1 302 Found\r\nLocation: http://a.ex/r2\r\n\r\n"
+        rec302 = hop + f"Content-Length: {len(http302)}".encode() + b"\r\n\r\n" + http302 + b"\r\n\r\n"
+        final = warc.build_warc(
+            [("http://a.ex/r", "2024-01-01T00:00:02Z", b"<html>r</html>",
+              {"Content-Type": "text/html"})]
+        )
+        (tmp_path / "f.warc").write_bytes(raw + rec302 + final)
+        df = warc.read_warc_pages(spark, str(tmp_path))
+        rows = {r["url"]: r for r in df.collect()}
+        assert set(rows) == {"http://a.ex/x", "http://a.ex/r"}
+        assert bytes(rows["http://a.ex/x"]["html"]) == b"<html>x</html>"
+        assert rows["http://a.ex/x"]["n_redirects"] == 0
+        assert rows["http://a.ex/r"]["n_redirects"] == 1
+        assert rows["http://a.ex/x"]["content_type"].startswith("text/html")
+        assert rows["http://a.ex/x"]["warc_ts"] is not None
+
+    def test_crawl_over_warc_equals_crawl_over_parquet(self, spark, tmp_path):
+        """The connector's whole point: a crawl over WARC-ingested pages is
+        byte-identical to the same crawl over the parquet pages table."""
+        from bbcrawl_spark import oracle
+        from bbcrawl_spark.operators.robots import parse_robots_txt
+        from bbcrawl_spark.plans.round import CrawlConfig, CrawlDriver
+
+        site = make_board_site(hosts=1, boards=2, threads=2, pages_per_thread=2)
+        recs = [
+            (url, DATE, body, {"Content-Type": site.content_types.get(url, "text/html; charset=utf-8")})
+            for url, body in sorted(site.pages.items())
+        ]
+        (tmp_path / "site.warc.gz").write_bytes(warc.build_warc(recs, gzipped=True))
+        pages_df = warc.read_warc_pages(spark, str(tmp_path))
+        pages_path = str(tmp_path / "pages_pq")
+        pages_df.write.parquet(pages_path)
+
+        robots = {h: parse_robots_txt(t) for h, t in site.robots.items()}
+        want = oracle.crawl_oracle(
+            pages=site.pages, seeds=site.seeds, budget=2,
+            robots=robots, excludes=set(site.excludes), max_rounds=20,
+        )
+        drv = CrawlDriver(spark, CrawlConfig(
+            pages_path=pages_path, warehouse_root=str(tmp_path / "wh"),
+            seeds=site.seeds, budget=2, max_rounds=20,
+            excludes=tuple(site.excludes), robots=site.robots,
+        ))
+        drv.run()
+        got = [(r["round"], r["url"]) for r in drv.crawl_order().orderBy("rank").collect()]
+        assert got == want.crawl_order
+        texts = {r["url"]: r["text"] for r in drv.fetched_texts().collect()}
+        assert texts == want.texts
