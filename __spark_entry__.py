@@ -191,6 +191,41 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_politeness_host_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 + Crawl-delay: per-host budget OVERRIDES through the single-pass
+    flag ranker — hosts ending in 0 get budget 1, ending in 5 get 2,
+    everyone else the default 3 (the shape crawl_delay_budgets emits)."""
+    o = _read(spark, sf_dir, "orders")
+    frontier = o.select(
+        F.col("o_custkey").cast("string").alias("host"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    budgets = (
+        o.select(F.col("o_custkey").alias("ck")).distinct()
+        .filter(F.pmod("ck", F.lit(10)).isin(0, 5))
+        .select(
+            F.col("ck").cast("string").alias("host"),
+            F.when(F.pmod("ck", F.lit(10)) == 0, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("budget"),
+        )
+    )
+    ranked = politeness.rank_fetch_slots(
+        frontier,
+        budget=3,
+        order_cols=("o_orderdate", "o_orderkey"),
+        key_col="o_orderkey",
+        host_budgets=budgets,
+    )
+    return ranked.select(
+        "host",
+        "o_orderkey",
+        F.col("fetch_rank").cast("int").alias("fetch_rank"),
+        F.col("scheduled").cast("int").alias("sched_int"),
+    )
+
+
 def q_fetch_slot_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/W1: the dispatcher's slot/wave layout (concurrency 5) per host."""
     o = _read(spark, sf_dir, "orders").select(
@@ -651,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_dedup_antijoin": q_seen_dedup_antijoin,
         "exclude_filter": q_exclude_filter,
         "politeness_topk": q_politeness_topk,
+        "politeness_host_budgets": q_politeness_host_budgets,
         "fetch_slot_assignment": q_fetch_slot_assignment,
         "crawl_order_rank": q_crawl_order_rank,
         "seen_union_growth": q_seen_union_growth,
@@ -732,6 +768,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
             FROM lineitem WHERE l_orderkey NOT IN (1, 2, 3, 5, 8)
             GROUP BY l_returnflag
+        """,
+        "politeness_host_budgets": """
+            WITH r AS (
+              SELECT CAST(o_custkey AS STRING) AS host, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS rn,
+                     CASE WHEN o_custkey % 10 = 0 THEN 1
+                          WHEN o_custkey % 10 = 5 THEN 2
+                          ELSE 3 END AS b
+              FROM orders)
+            SELECT host, o_orderkey,
+                   CAST(CASE WHEN rn <= b THEN rn ELSE 0 END AS INT) AS fetch_rank,
+                   CAST(rn <= b AS INT) AS sched_int
+            FROM r
         """,
         "politeness_topk": """
             SELECT o_custkey, o_orderkey, fetch_rank FROM (

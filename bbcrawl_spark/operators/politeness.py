@@ -56,6 +56,7 @@ def rank_fetch_slots(
     concurrency: int = DEFAULT_CONCURRENCY,
     mode: str = "single_pass",
     key_col: str = "url_hash",
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Add scheduling columns to a round's frontier.
 
@@ -110,10 +111,32 @@ def rank_fetch_slots(
     w = Window.partitionBy(host_col).orderBy(*order)
     rank = F.row_number().over(w)
 
+    # per-host budget overrides (robots Crawl-delay, host reputation, ...):
+    # a tiny broadcast dim (host, budget); hosts not listed keep the default.
+    # Flag-style modes compare rank against a COLUMN, which WindowGroupLimit
+    # modes cannot (the partial-limit rewrite needs a literal), and the
+    # salted pre-rank prunes by the default budget — so overrides are
+    # restricted to the modes where they are exact.
+    budget_col: Column = F.lit(budget)
+    if host_budgets is not None:
+        if mode not in ("single_pass", "full_rank") or salt_partitions > 1:
+            raise ValueError(
+                "host_budgets requires an unsalted flag-style mode "
+                "(single_pass or full_rank)"
+            )
+        hb = host_budgets.select(
+            F.col("host").alias("_hb_host"),
+            F.col("budget").cast("int").alias("_hb_budget"),
+        )
+        frontier = frontier.join(
+            F.broadcast(hb), frontier[host_col] == hb["_hb_host"], "left"
+        ).drop("_hb_host")
+        budget_col = F.coalesce(F.col("_hb_budget"), F.lit(budget))
+
     def _flag(df: DataFrame, r: Column) -> DataFrame:
         """Rank column -> the four scheduling columns, flag-style (rank 0 /
         slot -1 / wave -1 on unscheduled rows)."""
-        sched = r <= budget
+        sched = r <= budget_col
         return (
             df.withColumn("fetch_rank", F.when(sched, r).otherwise(F.lit(0)))
             .withColumn("scheduled", sched)
@@ -141,7 +164,7 @@ def rank_fetch_slots(
         """full_rank style: exact rank everywhere."""
         return (
             df.withColumn("fetch_rank", rank)
-            .withColumn("scheduled", F.col("fetch_rank") <= budget)
+            .withColumn("scheduled", F.col("fetch_rank") <= budget_col)
             .withColumn("slot", ((F.col("fetch_rank") - 1) % concurrency).cast("int"))
             .withColumn(
                 "wave", F.floor((F.col("fetch_rank") - 1) / concurrency).cast("int")
@@ -150,7 +173,7 @@ def rank_fetch_slots(
 
     if mode == "single_pass":
         if salt_partitions <= 1:
-            return _flag(frontier, rank)
+            return _flag(frontier, rank).drop("_hb_budget")
         # Salted, as ONE linear plan (no branch -> the phase-1 window is
         # never recomputed; no union; no join):
         #   phase 1: rank per (host, salt) — S balanced partitions per host
@@ -247,7 +270,7 @@ def rank_fetch_slots(
 
     if mode != "full_rank":
         raise ValueError(f"unknown mode: {mode!r}")
-    return _finalize(frontier)
+    return _finalize(frontier).drop("_hb_budget")
 
 
 def crawl_order_key(round_col: Column | str = "round") -> list[Column]:

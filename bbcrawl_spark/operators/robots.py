@@ -2,12 +2,18 @@
 (the reference does no robots handling; its politeness is the 5-slot
 dispatcher only).
 
-Model: a small per-host rules table ``robots(host string, disallow_prefix
-string)`` — one row per Disallow prefix — broadcast-joined against the
-frontier (dimension table is tiny relative to a 10^10 frontier).  A URL is
-blocked when ANY of its host's prefixes prefix-matches its path.
-Allow-precedence and wildcards are intentionally out of scope: simple
-prefix Disallow is the common-crawl-compatible core.
+Model: a small per-host rules table broadcast-joined against the frontier
+(the dimension is tiny relative to a 10^10 frontier). Two depths:
+
+* prefix core (``robots_gate``): one row per Disallow prefix; a URL is
+  blocked when ANY of its host's prefixes prefix-matches its path — the
+  common-crawl-compatible default.
+* full REP (``robots_gate_full``): RFC 9309 / Google-spec semantics —
+  Allow + Disallow, longest-match precedence (allow wins ties), ``*`` and
+  trailing ``$`` wildcards.
+
+``Crawl-delay`` maps to per-host politeness budgets
+(``crawl_delay_budgets`` -> ``rank_fetch_slots(host_budgets=...)``).
 """
 
 from __future__ import annotations
@@ -23,6 +29,8 @@ __all__ = [
     "robots_table",
     "robots_gate",
     "parse_robots_rules",
+    "parse_crawl_delay",
+    "crawl_delay_budgets",
     "robots_regex",
     "robots_rules_table",
     "robots_gate_full",
@@ -140,6 +148,67 @@ def parse_robots_rules(
         if "*" in ag:
             return rs
     return []
+
+
+def parse_crawl_delay(txt: str, user_agent: str = "*") -> float | None:
+    """``Crawl-delay:`` seconds applying to ``user_agent`` (same group
+    selection as the rule parsers); None when absent or unparseable."""
+    groups: list[tuple[list[str], float | None]] = []
+    agents: list[str] = []
+    delay: float | None = None
+    in_group = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if in_group:
+                groups.append((agents, delay))
+                agents, delay = [], None
+                in_group = False
+            agents.append(val)
+        elif key in ("disallow", "allow"):
+            in_group = True
+        elif key == "crawl-delay":
+            in_group = True
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+    if agents or delay is not None or in_group:
+        groups.append((agents, delay))
+    for ag, d in groups:
+        if user_agent in ag:
+            return d
+    for ag, d in groups:
+        if "*" in ag:
+            return d
+    return None
+
+
+def crawl_delay_budgets(
+    spark: SparkSession,
+    robots_txts: dict[str, str],
+    default_budget: int,
+    round_seconds: float,
+    user_agent: str = "*",
+) -> DataFrame:
+    """Map Crawl-delay to this engine's batch politeness: a host asking for
+    D seconds between fetches gets at most ``round_seconds // D`` fetches
+    per round (never more than the default budget). The result is the tiny
+    ``(host, budget)`` dim ``rank_fetch_slots(host_budgets=...)`` consumes;
+    hosts without a delay are omitted and keep the default. A delay longer
+    than the round yields budget 0 — the host waits whole rounds, which is
+    exactly what a D-second gap means when the scheduler only acts once per
+    round."""
+    rows = []
+    for host, txt in robots_txts.items():
+        d = parse_crawl_delay(txt, user_agent)
+        if d is not None and d > 0:
+            rows.append((host, min(default_budget, int(round_seconds // d))))
+    return spark.createDataFrame(rows or [], "host string, budget int")
 
 
 def robots_regex(pattern: str) -> str:

@@ -451,3 +451,67 @@ class TestPriority:
         for r in rows:
             assert r["s"] == priority.priority_score_py(r["page"], r["link"]), (
                 r["page"], r["link"])
+
+
+class TestHostBudgets:
+    """Per-host budget overrides (Crawl-delay mapping) through the
+    flag-style ranker."""
+
+    def test_crawl_delay_parse(self):
+        txt = "User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\n"
+        assert robots.parse_crawl_delay(txt) == 2.5
+        assert robots.parse_crawl_delay("User-agent: *\nDisallow: /x\n") is None
+        two = "User-agent: fast\nCrawl-delay: 1\nUser-agent: *\nCrawl-delay: 10\n"
+        assert robots.parse_crawl_delay(two, "fast") == 1
+        assert robots.parse_crawl_delay(two) == 10
+
+    def test_crawl_delay_budgets_mapping(self, spark):
+        txts = {
+            "slow.ex": "User-agent: *\nCrawl-delay: 30\n",   # 60//30 = 2
+            "glacial.ex": "User-agent: *\nCrawl-delay: 90\n",  # 60//90 = 0
+            "fast.ex": "User-agent: *\nDisallow: /x\n",      # no delay: omitted
+        }
+        got = {
+            r["host"]: r["budget"]
+            for r in robots.crawl_delay_budgets(spark, txts, 5, 60.0).collect()
+        }
+        assert got == {"slow.ex": 2, "glacial.ex": 0}
+
+    def test_override_changes_schedule_only_for_listed_hosts(self, spark):
+        rows = [
+            (h, 0, 0, i * 10 + j)
+            for i, h in enumerate(["a.ex", "b.ex", "c.ex"])
+            for j in range(4)
+        ]
+        f = spark.createDataFrame(
+            rows, "host string, priority int, page_num int, url_hash long"
+        )
+        budgets = spark.createDataFrame(
+            [("a.ex", 1), ("c.ex", 0)], "host string, budget int"
+        )
+        out = politeness.rank_fetch_slots(f, budget=2, host_budgets=budgets)
+        sched = {
+            h: sorted(r["url_hash"] for r in rs)
+            for h, rs in __import__("itertools").groupby(
+                sorted(out.filter("scheduled").collect(), key=lambda r: r["host"]),
+                key=lambda r: r["host"],
+            )
+        }
+        assert sched.get("a.ex") == [0]          # override 1
+        assert sched.get("b.ex") == [10, 11]     # default 2
+        assert "c.ex" not in sched               # override 0: fully deferred
+        assert "_hb_budget" not in out.columns
+
+    def test_override_rejected_outside_flag_modes(self, spark):
+        f = spark.createDataFrame(
+            [("a.ex", 0, 0, 1)], "host string, priority int, page_num int, url_hash long"
+        )
+        budgets = spark.createDataFrame([("a.ex", 1)], "host string, budget int")
+        with pytest.raises(ValueError, match="flag-style"):
+            politeness.rank_fetch_slots(
+                f, budget=2, mode="broadcast_topk", host_budgets=budgets
+            )
+        with pytest.raises(ValueError, match="flag-style"):
+            politeness.rank_fetch_slots(
+                f, budget=2, salt_partitions=4, host_budgets=budgets
+            )
