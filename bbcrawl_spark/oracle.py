@@ -93,6 +93,7 @@ def crawl_oracle(
     budget: int,
     robots: dict[str, list[str]] | None = None,
     robots_full_rules: dict[str, list[tuple[str, bool]]] | None = None,
+    host_budgets: dict[str, int] | None = None,
     excludes: set[str] | None = None,
     max_rounds: int = 100,
     follow_links: bool = True,
@@ -135,8 +136,9 @@ def crawl_oracle(
         deferred: list[FrontierEntry] = []
         for host in by_host:
             ordered = sorted(by_host[host], key=FrontierEntry.order_key)
-            scheduled.extend(ordered[:budget])
-            deferred.extend(ordered[budget:])
+            b = (host_budgets or {}).get(host, budget)
+            scheduled.extend(ordered[:b])
+            deferred.extend(ordered[b:])
         # 7. global order
         scheduled.sort(key=FrontierEntry.order_key)
         res.crawl_order.extend((r, e.url) for e in scheduled)

@@ -51,6 +51,7 @@ from ..operators import dedup
 from ..operators.politeness import rank_fetch_slots
 from ..operators.priority import priority_score_col
 from ..operators.robots import (
+    crawl_delay_budgets,
     robots_gate,
     robots_gate_full,
     robots_rules_table,
@@ -76,6 +77,11 @@ class CrawlConfig:
     # crawler output names and per-host seed order).
     seeds: list[tuple] = field(default_factory=list)
     budget: int = 5  # per-host fetches per round (reference DEFAULT_DL_JOBS)
+    # >0: honor robots Crawl-delay — a host asking for D seconds between
+    # fetches gets crawl_delay_round_seconds // D fetches per round (capped
+    # at budget). Requires salt_partitions <= 1 (per-host budget columns are
+    # exact only in the flag-style unsalted ranker).
+    crawl_delay_round_seconds: float = 0.0
     max_rounds: int = 100
     follow_links: bool = True
     salt_partitions: int = 0  # >1 enables two-phase salted politeness top-k
@@ -211,6 +217,17 @@ class CrawlDriver:
             self._robots_df = robots_rules_table(spark, cfg.robots, cfg.user_agent)
         else:
             self._robots_df = robots_table(spark, cfg.robots, cfg.user_agent)
+        self._host_budgets_df = None
+        if cfg.crawl_delay_round_seconds > 0 and cfg.robots:
+            if cfg.salt_partitions > 1:
+                raise ValueError(
+                    "crawl_delay_round_seconds requires salt_partitions <= 1"
+                )
+            hb = crawl_delay_budgets(
+                spark, cfg.robots, cfg.budget,
+                cfg.crawl_delay_round_seconds, cfg.user_agent,
+            )
+            self._host_budgets_df = hb if hb.count() else None
         self._excludes_df = (
             spark.createDataFrame([(u,) for u in cfg.excludes], "url string")
             if cfg.excludes
@@ -279,7 +296,8 @@ class CrawlDriver:
 
         # --- politeness window (W1) ---------------------------------------
         ranked = rank_fetch_slots(
-            cand, cfg.budget, salt_partitions=cfg.salt_partitions
+            cand, cfg.budget, salt_partitions=cfg.salt_partitions,
+            host_budgets=self._host_budgets_df,
         ).persist()
         scheduled = ranked.filter(F.col("scheduled"))
         deferred = ranked.filter(~F.col("scheduled")).select(*FRONTIER_COLS)

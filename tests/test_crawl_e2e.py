@@ -585,3 +585,47 @@ class TestStreamingAdapter:
             robots=robots, excludes=set(msite.excludes), max_rounds=20,
         )
         assert _order(drv) == want.crawl_order
+
+
+class TestCrawlDelayE2E:
+    def test_crawl_delay_budgets_flow_through_rounds(self, spark, tmp_path):
+        """crawl_delay_round_seconds>0: a host with Crawl-delay gets a
+        reduced per-round budget, engine ≡ oracle on order and seen set."""
+        from bbcrawl_spark.operators.robots import (
+            crawl_delay_budgets, parse_robots_txt,
+        )
+
+        site = make_board_site(hosts=2, boards=2, threads=3, pages_per_thread=2)
+        # host 1 asks for 45s between fetches; at 60s rounds that is budget 1
+        site.robots["forum1.example"] += "Crawl-delay: 45\n"
+        pages = str(tmp_path / "pages")
+        site.to_df(spark).write.parquet(pages)
+
+        robots = {h: parse_robots_txt(t) for h, t in site.robots.items()}
+        hb = {
+            r["host"]: r["budget"]
+            for r in crawl_delay_budgets(spark, site.robots, 2, 60.0).collect()
+        }
+        assert hb == {"forum1.example": 1}  # non-vacuous override
+        want = oracle.crawl_oracle(
+            pages=site.pages, seeds=site.seeds, budget=2,
+            robots=robots, excludes=set(site.excludes),
+            host_budgets=hb, max_rounds=30,
+        )
+        drv = CrawlDriver(spark, CrawlConfig(
+            pages_path=pages, warehouse_root=str(tmp_path / "wh"),
+            seeds=site.seeds, budget=2, max_rounds=30,
+            excludes=tuple(site.excludes), robots=site.robots,
+            crawl_delay_round_seconds=60.0,
+        ))
+        drv.run()
+        assert _order(drv) == want.crawl_order
+        assert {r["url_hash"] for r in drv.seen_set().collect()} == want.seen
+        # the delayed host never exceeds 1 fetch in any round
+        per = (
+            drv._last("fetch_log")
+            .filter(F.col("host") == "forum1.example")
+            .groupBy("round").agg(F.count("*").alias("n"))
+            .agg(F.max("n")).first()[0]
+        )
+        assert per == 1
