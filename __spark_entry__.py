@@ -462,6 +462,24 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics — the tokenizer-training-prep pass:
+    global term frequency + document frequency, deterministic top-200 by
+    (tf desc, token). One explode + one agg; at 100 TB this is the classic
+    map-side-combine wordcount shape (partial aggs per partition, one
+    exchange on the token)."""
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(textops.normalized("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    out = toks.groupBy("tok").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return out.orderBy(F.desc("tf"), "tok").limit(200)
+
+
 def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: ngram-Jaccard pairs -> transitive
     closure (connected components, min-label + pointer jumping) -> keep
@@ -703,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": q_langid_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "vocab_stats": q_vocab_stats,
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "corpus_clean": q_corpus_clean,
         "embedding_knn": q_embedding_knn,
@@ -971,6 +990,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_docs": f"""
             SELECT doc_id, md5({_NORM_SQL}) AS fp_md5 FROM documents
+        """,
+        "vocab_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS tok
+              FROM documents)
+            SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+            FROM toks WHERE tok != ''
+            GROUP BY tok ORDER BY tf DESC, tok LIMIT 200
         """,
         "ngram_jaccard_pairs": f"""
             WITH {_JACCARD_CTES}
