@@ -288,8 +288,10 @@ def q_redirect_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_robots_prefix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/J5: per-host Disallow-prefix gate over constructed urls."""
     u = _events_urls(spark, sf_dir)
+    from bbcrawl_spark.operators.robots import _path_or_root
+
     host = udfs.host_of("url")
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    path = _path_or_root(F.col("url"))  # '' and NULL both -> '/' (oracle CASE parity)
     rules = spark.createDataFrame(
         [("forum1.example.com", "/b0"), ("forum2.example.com", "/b1"),
          ("cdn1.example.net", "/f/")],
@@ -547,14 +549,68 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only (non-SQL-expressible) ----------------------------------------
 
 
+def q_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair recall of the LSH near-dup SCALE path vs the exact path, one
+    row per threshold regime — rows-only (hyperplane RNG is not
+    SQL-expressible), so the driver log carries the number every round, the
+    way `ann_recall` does for kNN. `embedding_near_dup`'s oracle pins the
+    exact path; this row pins how much of it the path a 100-TB run would
+    actually use keeps.
+
+    Two regimes on purpose: 0.90 is the regime hyperplane-LSH targets
+    (planted cos≈0.99 near-dups; tests floor recall at 1.0), and 0.35 is an
+    HONEST NEGATIVE — at low thresholds bucket collisions are rare by
+    design (P ≈ (1-θ/π)^planes per table), so the row records that the LSH
+    path is the wrong tool there and low-threshold similarity belongs to
+    the shingle/exact paths."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = e.filter(F.col("vec_id") < 300)
+    planted = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.9 + 0.01).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    out = None
+    for thr in (0.90, 0.35):
+        exact = similarity.cosine_near_dup_pairs(
+            corpus, threshold=thr, exact=True
+        ).select("id_a", "id_b")
+        lsh = similarity.cosine_near_dup_pairs(
+            corpus, threshold=thr, dim=64, num_planes=12
+        ).select("id_a", "id_b", F.lit(1).alias("_hit"))
+        rec = (
+            exact.join(lsh, ["id_a", "id_b"], "left")
+            .agg(
+                F.count("*").alias("n_exact"),
+                F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_lsh_hit"),
+            )
+            .select(
+                F.lit(int(thr * 100)).alias("threshold_e2"),
+                "n_exact",
+                "n_lsh_hit",
+                F.floor(
+                    F.col("n_lsh_hit") * 10000 / F.greatest(F.col("n_exact"), F.lit(1))
+                ).alias("recall_e4"),
+            )
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
 def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return textops.minhash_dedup(d, threshold=0.5).select("doc_id", "lang", "source")
 
 
 def q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket_size is the production default: 16-bit bands give only
+    # 65,536 buckets/band, so boilerplate clusters need the hot-bucket cap
+    # (lower-bound contract; well above any bucket this synthetic corpus
+    # produces, so the row's output is unchanged)
     d = _read(spark, sf_dir, "documents")
-    return textops.simhash_pairs(d, max_hamming=3)
+    return textops.simhash_pairs(d, max_hamming=3, max_bucket_size=10_000)
 
 
 def q_ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL equivalent):
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
+        "near_dup_recall": q_near_dup_recall,
         "ann_lsh_knn": q_ann_lsh_knn,
         "ann_ivf_knn": q_ann_ivf_knn,
         "ann_recall": q_ann_recall,

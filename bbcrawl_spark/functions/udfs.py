@@ -280,7 +280,15 @@ def make_extract_fused_udf(
     ``crawler`` selects the downloads walk ('' / 'file' -> none here — the
     file crawler derives downloads from the frontier row itself, see
     plans/round.py); ``want_text``/``want_links`` skip walks no sink consumes.
+
+    The ``htmlkit.set_parser`` registry (a C-parser seam for real clusters)
+    is read HERE, at UDF construction, so the registered builder ships to
+    executors inside this closure — same capture rule as the multimodal
+    decoder registry.
     """
+    from .. import htmlkit
+
+    html_parser = htmlkit.get_parser()  # captured NOW — ships via cloudpickle
 
     def _files(doc, u, p) -> list[dict]:
         if crawler == "vb-attachments":
@@ -315,7 +323,7 @@ def make_extract_fused_udf(
                 links.append([])
                 files.append([])
                 continue
-            doc = parse_html(decode_html(bytes(b), ct or CT_DEFAULT))
+            doc = parse_html(decode_html(bytes(b), ct or CT_DEFAULT), parser=html_parser)
             texts.append(extract.extract_text_from_doc(doc) if want_text else "")
             links.append(_links(doc, u) if want_links else [])
             files.append(_files(doc, u, p))

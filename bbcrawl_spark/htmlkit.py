@@ -27,6 +27,9 @@ from html.parser import HTMLParser
 __all__ = [
     "Node",
     "parse_html",
+    "set_parser",
+    "get_parser",
+    "reset_parser",
     "walk_tree",
     "element_by_id",
     "elements_by_attr_match",
@@ -99,21 +102,58 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].append(Node(TEXT, data=data))
 
 
-def parse_html(text: str) -> Node:
+#: registered tree builder (driver-side), mirroring
+#: ``operators.multimodal.set_decoder``. A cluster wires a C parser
+#: (selectolax/lxml) here instead of editing this module; the registered
+#: function is captured into each extraction UDF's closure at
+#: UDF-CONSTRUCTION time (``make_extract_fused_udf``) and ships to executors
+#: via cloudpickle — mutating this module global alone would never reach the
+#: separate worker processes.
+_PARSER: list = []
+
+
+def set_parser(fn) -> None:
+    """Register a replacement HTML tree builder: ``fn(text: str) -> Node``
+    returning a root ``#document`` ``Node`` (document-order ``index``
+    numbering is applied by ``parse_html`` afterwards, so builders need not
+    assign it). E.g. on a cluster with lxml, walk ``lxml.html.fromstring``
+    events into the same ``Node`` shape. The function must be picklable
+    (top-level def, or a lambda over picklable state); the Go-parity
+    fixtures (tests/test_extraction.py) pin the TREE contract any
+    replacement must satisfy, not the parser library."""
+    _PARSER[:] = [fn]
+
+
+def get_parser():
+    return _PARSER[0] if _PARSER else None
+
+
+def reset_parser() -> None:
+    _PARSER.clear()
+
+
+def _parse_html_stdlib(text: str) -> Node:
+    builder = _TreeBuilder()
+    builder.feed(text)
+    builder.close()
+    return builder.root
+
+
+def parse_html(text: str, parser=None) -> Node:
     """Parse HTML into a DOM rooted at a synthetic ``#document`` node and
     assign document-order element indices (DFS pre-order, elements only) —
     the order ``walkTree`` visits nodes in the reference.
 
-    PERFORMANCE SWAP POINT: this uses the stdlib ``html.parser`` (pure
+    PERFORMANCE SWAP POINT: the default is the stdlib ``html.parser`` (pure
     Python, ~70k pages/s/32c) because no C parser (lxml/selectolax) is
-    installable in this sandbox. On a real cluster, swap the parser HERE —
-    build the same ``Node`` tree from lxml's events — and every extraction
-    UDF and the Go-parity fixtures (tests/test_extraction.py) keep working
-    unchanged; they pin the tree contract, not the parser.
+    installable in this sandbox. On a real cluster, register one with
+    ``set_parser`` (or pass ``parser=``) — parsing dominates extraction
+    CPU, so this is the single highest-leverage swap. Extraction UDFs
+    capture the registered parser at construction time, exactly like the
+    multimodal decoder registry.
     """
-    builder = _TreeBuilder()
-    builder.feed(text)
-    builder.close()
+    fn = parser if parser is not None else get_parser()
+    root = fn(text) if fn is not None else _parse_html_stdlib(text)
     i = 0
 
     def number(n: Node) -> bool:
@@ -123,8 +163,8 @@ def parse_html(text: str) -> Node:
             i += 1
         return True
 
-    walk_tree(builder.root, number, None)
-    return builder.root
+    walk_tree(root, number, None)
+    return root
 
 
 def walk_tree(n: Node, pre, post) -> bool:

@@ -172,6 +172,12 @@ def dedup_clusters(
     Returns (``id_col``, cluster_id, keep boolean). Downstream:
     ``.filter("keep")`` is the deduplicated corpus; ``.filter("NOT keep")``
     is the removal manifest with full lineage to the surviving doc.
+
+    ``pairs`` is taken as given — when a production chain consumes both the
+    pair list AND this manifest, persist/checkpoint the pairs DF once and
+    pass the same DF here so pair-finding (the dominant cost — shingle join
+    or LSH banding) is never paid twice (bench row ``dedup_clusters_reuse``
+    measures the reuse).
     """
     cc = connected_components(
         pairs, src=src, dst=dst, nodes=docs.select(id_col), node_col=id_col,

@@ -114,14 +114,19 @@ def rank_fetch_slots(
     # per-host budget overrides (robots Crawl-delay, host reputation, ...):
     # a tiny broadcast dim (host, budget); hosts not listed keep the default.
     # Flag-style modes compare rank against a COLUMN, which WindowGroupLimit
-    # modes cannot (the partial-limit rewrite needs a literal), and the
-    # salted pre-rank prunes by the default budget — so overrides are
-    # restricted to the modes where they are exact.
+    # modes cannot (the partial-limit rewrite needs a literal) — so overrides
+    # are restricted to the flag-style modes, where they are exact. That
+    # INCLUDES the salted single-pass ranker: its phase-1 prune and phase-2
+    # regroup are per-host expressions, and b(h) is constant within a host,
+    # so the pigeonhole argument (a row in the host's true top-b(h) is in
+    # its salt's top-b(h)) holds per host with the broadcast column exactly
+    # as it does with the literal. A crawl-delayed hot host therefore keeps
+    # BOTH its tiny budget and the salted skew defense.
     budget_col: Column = F.lit(budget)
     if host_budgets is not None:
-        if mode not in ("single_pass", "full_rank") or salt_partitions > 1:
+        if mode not in ("single_pass", "full_rank"):
             raise ValueError(
-                "host_budgets requires an unsalted flag-style mode "
+                "host_budgets requires a flag-style mode "
                 "(single_pass or full_rank)"
             )
         hb = host_budgets.select(
@@ -190,14 +195,14 @@ def rank_fetch_slots(
         )
         w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
         pre = salted.withColumn("_r1", F.row_number().over(w1))
-        regroup = F.when(F.col("_r1") <= budget, F.col(host_col)).otherwise(
+        regroup = F.when(F.col("_r1") <= budget_col, F.col(host_col)).otherwise(
             F.concat(F.col(host_col), F.lit("\x00"), F.col("_salt").cast("string"))
         )
         w2 = Window.partitionBy("_h2").orderBy(*order)
         pre = pre.withColumn("_h2", regroup).withColumn(
             "_r2", F.row_number().over(w2)
         )
-        sched = (F.col("_r1") <= budget) & (F.col("_r2") <= budget)
+        sched = (F.col("_r1") <= budget_col) & (F.col("_r2") <= budget_col)
         r2 = F.col("_r2")
         out = (
             pre.withColumn("fetch_rank", F.when(sched, r2).otherwise(F.lit(0)))
@@ -213,7 +218,7 @@ def rank_fetch_slots(
                 .cast("int"),
             )
         )
-        return out.drop("_salt", "_r1", "_h2", "_r2")
+        return out.drop("_salt", "_r1", "_h2", "_r2", "_hb_budget")
 
     if mode == "broadcast_topk":
         narrow_cols = [host_col] + [c for c in order_cols if c != host_col]

@@ -61,6 +61,12 @@ def parse_robots_txt(txt: str, user_agent: str = "*") -> list[str]:
             in_group = True
             if val:
                 disallows.append(val)
+        elif key in ("allow", "crawl-delay"):
+            # Recognized records end the user-agent run even though this
+            # parser ignores their values — otherwise 'User-agent: a /
+            # Allow: /x / User-agent: b / Disallow: /y' would merge a and b
+            # into one group (same grouping as parse_crawl_delay).
+            in_group = True
     if agents or disallows:
         groups.append((agents, disallows))
     for ag, dis in groups:
@@ -89,13 +95,24 @@ def robots_table(
     )
 
 
+def _path_or_root(url: F.Column) -> F.Column:
+    """URL path, with BOTH null and '' normalized to '/'. ``F.parse_url``
+    yields the empty string (not NULL) for a pathless ``http://host``, so a
+    bare coalesce never fires and 'Disallow: /' would miss such URLs —
+    ``nullif`` folds '' into the NULL branch, matching the pure-Python twins
+    (``u.path or '/'``) and the DuckDB oracle."""
+    return F.coalesce(
+        F.nullif(F.parse_url(url, F.lit("PATH")), F.lit("")), F.lit("/")
+    )
+
+
 def robots_gate(frontier: DataFrame, robots: DataFrame, url_col: str = "url") -> DataFrame:
     """Drop frontier rows disallowed by robots rules.
 
     Broadcast inner join on host (rules side is small), prefix test on the
     path, then anti-semantics via a blocked-keys left_anti. All JVM-side.
     """
-    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    path = _path_or_root(F.col(url_col))
     blocked = (
         frontier.withColumn("_host", host_of(F.col(url_col)))
         .join(F.broadcast(robots), F.col("_host") == robots["host"], "inner")
@@ -139,6 +156,11 @@ def parse_robots_rules(
             in_group = True
             if val:
                 rules.append((val, key == "allow"))
+        elif key == "crawl-delay":
+            # A Crawl-delay record also closes the user-agent run (value
+            # consumed by parse_crawl_delay) — keeps the three parsers'
+            # group boundaries identical.
+            in_group = True
     if agents or rules:
         groups.append((agents, rules))
     for ag, rs in groups:
@@ -258,7 +280,7 @@ def robots_gate_full(
     matched = (
         frontier.select(F.col(url_col).alias("_u"))
         .withColumn("_host", host_of(F.col("_u")))
-        .withColumn("_path", F.coalesce(F.parse_url("_u", F.lit("PATH")), F.lit("/")))
+        .withColumn("_path", _path_or_root(F.col("_u")))
         .join(F.broadcast(rules), F.col("_host") == rules["host"], "inner")
         .filter(F.regexp_like(F.col("_path"), F.col("rx")))
     )

@@ -145,9 +145,56 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style line-repetition signals, pure JVM column expressions
+    (no explode, no shuffle — per-doc array ops over the line split).
+
+    Emitted per document (all ratios floor-scaled to e4 ints for exact
+    cross-engine comparison):
+
+      r_n_lines                 non-empty trimmed lines
+      r_dup_line_frac_e4        beyond-first occurrences / lines
+      r_dup_line_char_frac_e4   chars in beyond-first occurrences / line chars
+      r_bullet_line_frac_e4     lines starting '- ' or '* '
+      r_ellipsis_line_frac_e4   lines ending '...'
+
+    These are the boilerplate detectors a training-data pipeline runs ahead
+    of near-dup hashing (Rae et al., Gopher App. A): a page whose lines are
+    mostly repeats is template chrome, not prose, and dropping it early
+    shrinks what MinHash/SimHash must band."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    n1 = F.greatest(n_lines, F.lit(1))
+    distinct_lines = F.array_distinct(lines)
+    n_dup = n_lines - F.size(distinct_lines)
+    chars_total = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    chars_distinct = F.aggregate(
+        distinct_lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    c1 = F.greatest(chars_total, F.lit(1))
+    bullet = F.size(
+        F.filter(lines, lambda x: x.startswith("- ") | x.startswith("* "))
+    )
+    ellipsis = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    return df.select(
+        "*",
+        n_lines.alias("r_n_lines"),
+        F.floor(n_dup * 10000 / n1).alias("r_dup_line_frac_e4"),
+        F.floor((chars_total - chars_distinct) * 10000 / c1).alias(
+            "r_dup_line_char_frac_e4"
+        ),
+        F.floor(bullet * 10000 / n1).alias("r_bullet_line_frac_e4"),
+        F.floor(ellipsis * 10000 / n1).alias("r_ellipsis_line_frac_e4"),
+    )
+
+
 def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-profile language ID over {en,de,fr,es}, 'und' when no
-    profile hits. Deterministic tiebreak: ratio desc, then language code."""
+    """Stopword-profile language ID over the ``_STOPWORDS`` profiles
+    (en, de, fr, es, it, pt, nl), 'und' when no profile hits.
+    Deterministic tiebreak: ratio desc, then language code."""
     toks = _tokens(F.col(text_col))
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
     ratios = {lang: (_stopword_hits(toks, lang).cast("double") / n) for lang in _STOPWORDS}
@@ -375,6 +422,22 @@ def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3):
     return minhash_udf
 
 
+def _drop_hot_buckets(
+    banded: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Filter (band, bucket) groups larger than the cap before any
+    per-bucket materialization. Spill-safe (WindowExec external buffer) and
+    exchange-compatible with a following groupBy on the same keys."""
+    if max_bucket_size is None:
+        return banded
+    wb = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -396,9 +459,14 @@ def minhash_lsh_pairs(
     session (round-2 judge item). No cached state remains now.
 
     ``max_bucket_size`` drops pathological hot buckets (e.g. a shingle-free
-    boilerplate cluster) before the quadratic in-bucket expansion — candidates
+    boilerplate cluster) BEFORE the bucket is ever materialized — candidates
     become a lower bound, never false pairs (same contract as
-    ``ngram_jaccard_pairs(max_shingle_df=...)``).
+    ``ngram_jaccard_pairs(max_shingle_df=...)``). The cap is enforced as a
+    window count over (band, bucket) ahead of the ``collect_list``: WindowExec
+    spills its row buffer to disk, so a 10^7-member boilerplate bucket never
+    OOMs an executor the way an uncapped ``collect_list`` array would, and the
+    window's (band, bucket) exchange is the SAME partitioning the groupBy
+    needs, so Catalyst inserts no second shuffle.
     """
     rows = num_hashes // bands
     udf = make_minhash_udf(num_hashes, shingle_n)
@@ -420,13 +488,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
+    banded = _drop_hot_buckets(banded, max_bucket_size)
     grouped = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list(F.struct("id", "sig")).alias("mem"))
         .filter(F.size("mem") >= 2)
     )
-    if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("mem") <= max_bucket_size)
     # all i<j pairs within the bucket; sort by id first so id_a < id_b holds
     ms = F.array_sort("mem")
     pairs_arr = F.flatten(
@@ -533,10 +600,25 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit band
-    buckets (pigeonhole: ≤3 differing bits leave ≥1 band identical)."""
+    buckets (pigeonhole: ≤3 differing bits leave ≥1 band identical).
+
+    Same single-pass shape as ``minhash_lsh_pairs``: signatures once, ONE
+    shuffle on (band, bucket), JVM in-bucket pair expansion — the former
+    banded self-join evaluated the simhash UDF per join side. And the same
+    hot-bucket defense: 16-bit bands give only 65,536 buckets per band, so a
+    boilerplate-heavy corpus at 10^9 docs puts O(n²) rows through one
+    bucket; ``max_bucket_size`` drops such buckets before any per-bucket
+    materialization. Contract: results become a LOWER BOUND of the true
+    candidate set — a dropped bucket can only lose pairs, never invent one,
+    because every emitted pair still carries its exact Hamming distance.
+    """
     sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sim"))
     bands = [
         F.struct(F.lit(i).alias("band"), F.shiftright("sim", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"))
@@ -545,18 +627,32 @@ def simhash_pairs(
     banded = sig.select("id", "sim", F.explode(F.array(*bands)).alias("bb")).select(
         "id", "sim", "bb.band", "bb.bucket"
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    banded = _drop_hot_buckets(banded, max_bucket_size)
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("id", "sim")).alias("mem"))
+        .filter(F.size("mem") >= 2)
+    )
+    ms = F.array_sort("mem")
+    pairs_arr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sim"].alias("sim_a"),
+                    y["sim"].alias("sim_b"),
+                ),
+            ),
+        )
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming")
-        )
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -219,10 +219,11 @@ class CrawlDriver:
             self._robots_df = robots_table(spark, cfg.robots, cfg.user_agent)
         self._host_budgets_df = None
         if cfg.crawl_delay_round_seconds > 0 and cfg.robots:
-            if cfg.salt_partitions > 1:
-                raise ValueError(
-                    "crawl_delay_round_seconds requires salt_partitions <= 1"
-                )
+            # composes with salt_partitions > 1: the salted single-pass
+            # ranker takes per-host budget columns exactly (politeness.py
+            # phase-1 prune / phase-2 regroup are per-host expressions), so
+            # a crawl-delayed hot host keeps both its tiny budget and the
+            # skew defense
             hb = crawl_delay_budgets(
                 spark, cfg.robots, cfg.budget,
                 cfg.crawl_delay_round_seconds, cfg.user_agent,
@@ -616,8 +617,11 @@ class CrawlDriver:
                 yield pdf
 
         return ranged.mapInPandas(_number, schema).select(
+            # long, not int: the whole point of this rewrite is 10^10-row
+            # fetch logs, where offset+_lrn exceeds 2^31 and an int cast
+            # silently wraps to wrong/negative ranks.
             (F.coalesce(off_map[F.col("_pid")], F.lit(0)) + F.col("_lrn"))
-            .cast("int")
+            .cast("long")
             .alias("rank"),
             "round", "url", "priority", "page_num", "url_hash",
         )

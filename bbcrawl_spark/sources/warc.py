@@ -29,7 +29,13 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["parse_warc", "build_warc", "http_response_parts", "read_warc_pages"]
+__all__ = [
+    "parse_warc",
+    "parse_warc_stream",
+    "build_warc",
+    "http_response_parts",
+    "read_warc_pages",
+]
 
 _CRLF = b"\r\n"
 
@@ -68,38 +74,33 @@ def http_response_parts(block: bytes) -> tuple[int, dict[str, str], bytes]:
     return status, headers, body
 
 
-def parse_warc(data: bytes) -> Iterator[dict]:
-    """Yield one dict per WARC record: ``{type, uri, date, headers,
-    block}``. Accepts plain or gzip input (multi-member — the per-record
-    gzip framing Common Crawl uses — decompresses as one stream)."""
-    if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
-    pos = 0
-    n = len(data)
-    while pos < n:
+def parse_warc_stream(f) -> Iterator[dict]:
+    """Yield one dict per WARC record from a binary file object, reading
+    record-at-a-time: header lines via ``readline`` until the blank line,
+    then exactly ``Content-Length`` block bytes. Peak memory is O(record),
+    never O(file) — the streaming form a ~1 GB Common-Crawl segment needs
+    (its ~4-5 GB decompressed would otherwise sit whole in the worker)."""
+    while True:
+        line = f.readline()
+        if not line:
+            return
         # skip inter-record blank lines
-        while data[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            return
-        head_end = data.find(_CRLF + _CRLF, pos)
-        if head_end < 0:
-            return
-        head = data[pos:head_end].split(_CRLF)
-        if not head[0].startswith(b"WARC/"):
-            raise ValueError(
-                f"not a WARC record at offset {pos}: {head[0][:40]!r}"
-            )
+        if line in (_CRLF, b"\n"):
+            continue
+        if not line.startswith(b"WARC/"):
+            raise ValueError(f"not a WARC record: {line[:40]!r}")
         hdrs: dict[str, str] = {}
-        for ln in head[1:]:
+        while True:
+            ln = f.readline()
+            if not ln or ln in (_CRLF, b"\n"):
+                break
             k, _, v = ln.partition(b":")
             if _:
                 hdrs[k.strip().lower().decode("latin-1")] = v.strip().decode(
                     "latin-1"
                 )
         length = int(hdrs.get("content-length", "0"))
-        block_start = head_end + 4
-        block = data[block_start : block_start + length]
+        block = f.read(length)
         yield {
             "type": hdrs.get("warc-type", ""),
             "uri": hdrs.get("warc-target-uri", ""),
@@ -107,7 +108,20 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             "headers": hdrs,
             "block": block,
         }
-        pos = block_start + length
+
+
+def parse_warc(data: bytes) -> Iterator[dict]:
+    """Yield one dict per WARC record: ``{type, uri, date, headers,
+    block}``. Accepts plain or gzip input. Gzip is decompressed with a
+    STREAMING reader (``gzip.GzipFile`` walks Common Crawl's per-record
+    multi-member framing transparently), so decoded bytes never exceed one
+    record — the former whole-file ``gzip.decompress`` held the entire
+    ~4-5 GB decompressed segment in the Python worker at once."""
+    if data[:2] == b"\x1f\x8b":
+        f = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        f = io.BytesIO(data)
+    yield from parse_warc_stream(f)
 
 
 def build_warc(

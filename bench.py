@@ -227,6 +227,33 @@ def main() -> None:
 
     timed("dedup_clusters", dedup_clusters)
 
+    # production chain shape: when BOTH the pair list and the manifest are
+    # consumed, materialize pairs ONCE and feed the same DF to both
+    # consumers — dedup_clusters takes a precomputed pairs DF, so the
+    # chain never pays shingle-join pair-finding twice. Compare this row
+    # against ngram_jaccard + dedup_clusters (which each recompute pairs).
+    def dedup_clusters_reuse():
+        from bbcrawl_spark.operators import graphops
+
+        pairs = textops.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=50
+        ).persist()
+        try:
+            n_pairs = pairs.count()  # consumer 1: the pair list itself
+            bc: list = []
+            n_dropped = (
+                graphops.dedup_clusters(docs, pairs, cache=bc)
+                .filter("NOT keep")
+                .count()
+            )  # consumer 2: the keep/drop manifest
+            for h in bc:
+                h.unpersist()
+            return n_pairs + n_dropped
+        finally:
+            pairs.unpersist()
+
+    timed("dedup_clusters_reuse", dedup_clusters_reuse)
+
     # flagship curation chain: quality gate -> langid -> exact dedup ->
     # per-language rollup (oracle-checked in the driver gate)
     def corpus_clean():

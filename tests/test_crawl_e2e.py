@@ -71,6 +71,11 @@ class TestCrawlEquivalence:
     def test_crawl_order_matches_oracle(self, run, want):
         assert _order(run[0]) == want.crawl_order
 
+    def test_crawl_order_rank_is_long(self, run):
+        # 10^10-row fetch logs overflow int32 — the rank must be a long or
+        # offset+local-row-number silently wraps negative past 2^31.
+        assert dict(run[0].crawl_order().dtypes)["rank"] == "bigint"
+
     def test_crawl_order_plan_has_no_global_window(self, run):
         # the former implementation ranked with Window.orderBy(...) and NO
         # partition key — every fetch_log row through one task; dead at scale
@@ -629,3 +634,37 @@ class TestCrawlDelayE2E:
             .agg(F.max("n")).first()[0]
         )
         assert per == 1
+
+    def test_crawl_delay_composes_with_salted_politeness(self, spark, tmp_path):
+        """Round-4 fix: Crawl-delay budgets no longer exclude the salted
+        ranker — the hot-host skew defense and Crawl-delay honoring run in
+        the SAME crawl, still byte-identical to the sequential oracle."""
+        from bbcrawl_spark.operators.robots import (
+            crawl_delay_budgets, parse_robots_txt,
+        )
+
+        site = make_board_site(hosts=2, boards=2, threads=3, pages_per_thread=2)
+        site.robots["forum1.example"] += "Crawl-delay: 45\n"
+        pages = str(tmp_path / "pages")
+        site.to_df(spark).write.parquet(pages)
+
+        robots = {h: parse_robots_txt(t) for h, t in site.robots.items()}
+        hb = {
+            r["host"]: r["budget"]
+            for r in crawl_delay_budgets(spark, site.robots, 2, 60.0).collect()
+        }
+        assert hb == {"forum1.example": 1}
+        want = oracle.crawl_oracle(
+            pages=site.pages, seeds=site.seeds, budget=2,
+            robots=robots, excludes=set(site.excludes),
+            host_budgets=hb, max_rounds=30,
+        )
+        drv = CrawlDriver(spark, CrawlConfig(
+            pages_path=pages, warehouse_root=str(tmp_path / "wh"),
+            seeds=site.seeds, budget=2, max_rounds=30,
+            excludes=tuple(site.excludes), robots=site.robots,
+            crawl_delay_round_seconds=60.0, salt_partitions=4,
+        ))
+        drv.run()
+        assert _order(drv) == want.crawl_order
+        assert {r["url_hash"] for r in drv.seen_set().collect()} == want.seen

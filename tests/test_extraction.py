@@ -301,3 +301,72 @@ class TestFusedExtraction:
             fused("html", "url", "page_num", F.lit(CT_DEFAULT)).alias("_ex")
         ).first()["_ex"]
         assert row["text"] == "" and row["links"] == [] and row["files"] == []
+
+
+def _shout_parser(text):
+    """Registry fixture: a replacement tree builder (stands in for
+    selectolax/lxml on a real cluster) that uppercases every text node —
+    recognizable in extracted output, provably NOT the stdlib default."""
+    root = htmlkit._parse_html_stdlib(text)
+
+    def up(n):
+        if n.type == htmlkit.TEXT:
+            n.data = n.data.upper()
+        return True
+
+    htmlkit.walk_tree(root, up, None)
+    return root
+
+
+class TestPluggableParser:
+    """htmlkit.set_parser: the C-parser seam for real clusters, mirroring
+    operators.multimodal.set_decoder (VERDICT r3 item 4). Parsing dominates
+    extraction CPU — the registry lets a cluster wire lxml/selectolax
+    without editing htmlkit; extraction UDFs capture the registered builder
+    at CONSTRUCTION time (closure ships via cloudpickle)."""
+
+    def teardown_method(self):
+        htmlkit.reset_parser()
+
+    def test_parse_html_uses_registered_parser(self):
+        htmlkit.set_parser(_shout_parser)
+        doc = htmlkit.parse_html("<p>hello</p>")
+        assert extract.extract_text_from_doc(doc) == "HELLO"
+        # indices are still numbered by parse_html, not the builder
+        assert htmlkit.elements_by_tag(doc, "p")[0].index == 0
+        htmlkit.reset_parser()
+        assert extract.extract_text_from_doc(htmlkit.parse_html("<p>hello</p>")) == "hello"
+
+    def test_registered_parser_through_spark(self, spark):
+        from pyspark.sql import functions as F
+
+        from bbcrawl_spark.functions.udfs import CT_DEFAULT, make_extract_fused_udf
+
+        df = spark.createDataFrame(
+            [("http://h/t", bytearray(b"<p>hello</p><a href='/x'>link</a>"), 0)],
+            "url string, html binary, page_num int",
+        )
+        htmlkit.set_parser(_shout_parser)
+        fused = make_extract_fused_udf("")  # captures the registry NOW
+        htmlkit.reset_parser()  # construction-time capture: reset must not matter
+        row = df.select(
+            fused("html", "url", "page_num", F.lit(CT_DEFAULT)).alias("_ex")
+        ).first()["_ex"]
+        assert row["text"] == "HELLOLINK"
+        assert [l["anchor_text"] for l in row["links"]] == ["LINK"]
+
+    def test_udf_built_before_registration_keeps_default(self, spark):
+        from pyspark.sql import functions as F
+
+        from bbcrawl_spark.functions.udfs import CT_DEFAULT, make_extract_fused_udf
+
+        df = spark.createDataFrame(
+            [("http://h/t", bytearray(b"<p>hello</p>"), 0)],
+            "url string, html binary, page_num int",
+        )
+        fused = make_extract_fused_udf("")  # registry empty at construction
+        htmlkit.set_parser(_shout_parser)  # too late for this UDF
+        row = df.select(
+            fused("html", "url", "page_num", F.lit(CT_DEFAULT)).alias("_ex")
+        ).first()["_ex"]
+        assert row["text"] == "hello"

@@ -194,6 +194,33 @@ class TestMinHash:
         capped = textops.minhash_lsh_pairs(df, threshold=0.4, max_bucket_size=3)
         assert capped.count() == 0
 
+    def test_bucket_cap_filters_before_collect_list(self, spark):
+        # The cap must drop a hot bucket BEFORE collect_list materializes it
+        # (a 10^7-member bucket would OOM the aggregation task otherwise):
+        # the plan's window count + filter sit BELOW the collect_list
+        # aggregate, and both reuse ONE (band, bucket) exchange.
+        df = _docs_df(spark, NEAR_DUP_TEXTS)
+        plan = (
+            textops.minhash_lsh_pairs(df, threshold=0.4, max_bucket_size=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("collect_list") >= 1
+        i_win = plan.find("Window")
+        i_agg = plan.find("collect_list")
+        assert i_win != -1 and i_agg != -1
+        # executedPlan prints top-down: the aggregate appears ABOVE (before,
+        # in string order) the window pre-filter feeding it
+        assert i_agg < i_win, plan
+        # the window's hash partitioning is reused by the groupBy: exactly
+        # one exchange on (band, bucket) in the whole pairs plan
+        import re as _re
+
+        bb_exchanges = [
+            m for m in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+            if "band" in m and "bucket" in m
+        ]
+        assert len(bb_exchanges) == 1, plan
+
 
 class TestSimHash:
     def test_exact_dup_zero_hamming(self, spark):
@@ -224,6 +251,37 @@ class TestSimHash:
         }
         assert (0, 1) in pairs and pairs[(0, 1)] <= 3
         assert not any(2 in p for p in pairs)
+
+    def test_pairs_bucket_cap_is_lower_bound(self, spark):
+        # same contract as minhash_lsh_pairs: 4 exact duplicates collide in
+        # all 4 band buckets; a cap below the cluster size drops those
+        # buckets entirely (pairs are a lower bound, never false), a cap
+        # at/above the size keeps all 6 zero-hamming pairs
+        df = _docs_df(spark, [NEAR_DUP_TEXTS[0]] * 4 + [NEAR_DUP_TEXTS[2]])
+        full = textops.simhash_pairs(df, max_hamming=3)
+        assert full.count() == 6
+        capped = textops.simhash_pairs(df, max_hamming=3, max_bucket_size=3)
+        assert capped.count() == 0
+        roomy = textops.simhash_pairs(df, max_hamming=3, max_bucket_size=4)
+        assert roomy.count() == 6
+
+    def test_pairs_single_pass_plan(self, spark):
+        # grouped in-bucket expansion, not a banded self-join: the simhash
+        # UDF (ArrowEvalPython) evaluates ONCE and there is ONE (band,
+        # bucket) exchange — the former self-join paid both twice
+        df = _docs_df(spark, NEAR_DUP_TEXTS)
+        plan = (
+            textops.simhash_pairs(df, max_hamming=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("ArrowEvalPython") == 1, plan
+        import re as _re
+
+        bb_exchanges = [
+            m for m in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+            if "band" in m and "bucket" in m
+        ]
+        assert len(bb_exchanges) == 1, plan
 
     def test_simhash_distinct_for_different_text(self, spark):
         df = _docs_df(spark, [NEAR_DUP_TEXTS[0], NEAR_DUP_TEXTS[2]])
@@ -310,6 +368,22 @@ class TestSimilarity:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         pairs = similarity.cosine_near_dup_pairs(df, threshold=0.95, exact=True).collect()
         assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+    def test_near_dup_lsh_path_recall_floor(self, spark):
+        # the SCALE path a 100-TB run uses (LSH buckets, not the O(n²)
+        # exact join) must keep 100% of the exact path's pairs in the
+        # high-threshold regime it targets (driver row: near_dup_recall)
+        import __spark_entry__ as entry
+
+        rec = {
+            r["threshold_e2"]: r
+            for r in entry.q_near_dup_recall(spark, "/root/testdata/sf0.01").collect()
+        }
+        assert rec[90]["n_exact"] == 5  # the planted cos≈0.99 near-dups
+        assert rec[90]["recall_e4"] == 10000
+        # the honest negative: low-threshold similarity is not LSH territory
+        assert rec[35]["n_exact"] > 50
+        assert rec[35]["recall_e4"] < 5000
 
 
 class TestMultimodal:

@@ -28,6 +28,48 @@ class TestFraming:
         with pytest.raises(ValueError, match="not a WARC record"):
             list(warc.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n"))
 
+    def test_gzip_never_decompressed_whole(self, monkeypatch):
+        # Scale pin: a ~1 GB CC segment decompresses to ~4-5 GB — the parser
+        # must stream per-member (GzipFile), never gzip.decompress the file.
+        import gzip as _gzip
+
+        recs = [
+            (f"http://a.ex/{i}", DATE, f"<html>{i}</html>".encode(), None)
+            for i in range(5)
+        ]
+        data = warc.build_warc(recs, gzipped=True)
+
+        def _boom(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("whole-file gzip.decompress called")
+
+        monkeypatch.setattr(_gzip, "decompress", _boom)
+        got = list(warc.parse_warc(data))
+        assert [r["uri"] for r in got] == [f"http://a.ex/{i}" for i in range(5)]
+
+    def test_parse_is_record_at_a_time(self):
+        # Lazy iteration: records before a corrupt tail are yielded before
+        # the parser ever touches (and errors on) the bad bytes — the
+        # O(record) peak-memory contract in iterator form.
+        recs = [("http://a.ex/1", DATE, b"<html>1</html>", None),
+                ("http://a.ex/2", DATE, b"<html>2</html>", None)]
+        data = warc.build_warc(recs) + b"GARBAGE-NOT-A-RECORD\r\n\r\n"
+        it = warc.parse_warc(data)
+        assert next(it)["uri"] == "http://a.ex/1"
+        assert next(it)["uri"] == "http://a.ex/2"
+        with pytest.raises(ValueError, match="not a WARC record"):
+            next(it)
+
+    def test_multi_member_gzip_equals_plain(self):
+        # per-record gzip members (Common Crawl framing) parse identically
+        # to the uncompressed stream
+        recs = [
+            (f"http://a.ex/{i}", DATE, b"x" * (100 + i), {"Content-Type": "text/html"})
+            for i in range(4)
+        ]
+        plain = list(warc.parse_warc(warc.build_warc(recs)))
+        gzipped = list(warc.parse_warc(warc.build_warc(recs, gzipped=True)))
+        assert plain == gzipped
+
     def test_http_parts_headers_and_status(self):
         block = (
             b"HTTP/1.1 301 Moved\r\nLocation: http://b.ex/\r\n"
