@@ -464,6 +464,28 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style line-repetition signals (textops.repetition_stats).
+
+    The synthetic documents are single-line, so the query derives a
+    deterministic multi-line view first — token-per-line plus bullet /
+    ellipsis decorations keyed on doc_id — identically in both engines;
+    every output column has teeth (non-constant over the corpus)."""
+    d = _read(spark, sf_dir, "documents")
+    bullets = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("- bullet point\n- bullet point\n")
+    ).otherwise(F.lit(""))
+    tail = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("trailing thought...\n")
+    ).otherwise(F.lit(""))
+    decorated = F.concat(
+        bullets, tail, F.regexp_replace(F.col("text"), " ", "\n")
+    )
+    return textops.repetition_stats(
+        d.select("doc_id", decorated.alias("text"))
+    ).drop("text")
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics — the tokenizer-training-prep pass:
     global term frequency + document frequency, deterministic top-200 by
@@ -778,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "vocab_stats": q_vocab_stats,
+        "repetition_stats_docs": q_repetition_stats_docs,
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "corpus_clean": q_corpus_clean,
         "embedding_knn": q_embedding_knn,
@@ -1007,6 +1030,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text, lang, source,
                        ROW_NUMBER() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id) AS rn
                 FROM documents) WHERE rn = 1
+        """,
+        "repetition_stats_docs": """
+            WITH deco AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 3 = 0
+                           THEN '- bullet point' || chr(10) || '- bullet point' || chr(10)
+                           ELSE '' END)
+                  || (CASE WHEN doc_id % 4 = 0
+                           THEN 'trailing thought...' || chr(10) ELSE '' END)
+                  || replace(text, ' ', chr(10)) AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                                 x -> x <> '') AS lines
+              FROM deco),
+            m AS (
+              SELECT doc_id, lines,
+                     len(lines) AS n_lines,
+                     greatest(len(lines), 1) AS n1,
+                     COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) AS c_total,
+                     COALESCE(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS c_dist
+              FROM l)
+            SELECT doc_id,
+                   CAST(n_lines AS INT) AS r_n_lines,
+                   CAST(floor((n_lines - len(list_distinct(lines))) * 10000 / n1) AS BIGINT) AS r_dup_line_frac_e4,
+                   CAST(floor((c_total - c_dist) * 10000 / greatest(c_total, 1)) AS BIGINT) AS r_dup_line_char_frac_e4,
+                   CAST(floor(len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* '))) * 10000 / n1) AS BIGINT) AS r_bullet_line_frac_e4,
+                   CAST(floor(len(list_filter(lines, x -> ends_with(x, '...'))) * 10000 / n1) AS BIGINT) AS r_ellipsis_line_frac_e4
+            FROM m
         """,
         "token_count_docs": f"""
             SELECT doc_id, CAST(length(text) AS INT) AS n_chars_raw,

@@ -656,3 +656,26 @@ def simhash_pairs(
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: list | None = None,
+    **kw,
+) -> DataFrame:
+    """Deduplicated corpus via SimHash: banded pairs -> transitive cluster
+    resolution -> keep the min-id representative per cluster. Same closure
+    as ``minhash_dedup`` (connected components make chained near-dups
+    A≈C≈B resolve to ONE survivor); ``kw`` forwards ``max_hamming`` /
+    ``max_bucket_size`` to ``simhash_pairs``."""
+    from bbcrawl_spark.operators import graphops
+
+    pairs = simhash_pairs(df, id_col, text_col, **kw)
+    keep = (
+        graphops.dedup_clusters(df, pairs, id_col=id_col, cache=cache)
+        .filter("keep")
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

@@ -65,6 +65,41 @@ class TestTokenAndQuality:
         assert rows[1]["q_keep"] is False
         assert rows[2]["q_keep"] is False
 
+    def test_repetition_stats(self, spark):
+        # 5 non-empty lines: 'dup' ×3 (2 beyond-first), '- item', 'wait...'
+        doc = "dup\ndup\n  dup  \n- item\nwait...\n\n   \n"
+        clean = "alpha\nbeta\ngamma"
+        df = _docs_df(spark, [doc, clean])
+        rows = {r["doc_id"]: r for r in textops.repetition_stats(df).collect()}
+        r = rows[0]
+        assert r["r_n_lines"] == 5
+        assert r["r_dup_line_frac_e4"] == 4000  # 2/5
+        # line chars: dup(3)*3 + '- item'(6) + 'wait...'(7) = 22; dup chars 6
+        assert r["r_dup_line_char_frac_e4"] == 2727  # floor(6*10000/22)
+        assert r["r_bullet_line_frac_e4"] == 2000  # 1/5
+        assert r["r_ellipsis_line_frac_e4"] == 2000  # 1/5
+        c = rows[1]
+        assert c["r_n_lines"] == 3
+        assert c["r_dup_line_frac_e4"] == 0
+        assert c["r_dup_line_char_frac_e4"] == 0
+
+    def test_repetition_stats_empty_text(self, spark):
+        df = _docs_df(spark, ["", "   \n  \n"])
+        for r in textops.repetition_stats(df).collect():
+            assert r["r_n_lines"] == 0
+            assert r["r_dup_line_frac_e4"] == 0
+            assert r["r_dup_line_char_frac_e4"] == 0
+
+    def test_repetition_stats_plan_is_jvm_only(self, spark):
+        # pure column expressions: no shuffle, no Python eval in the plan
+        df = _docs_df(spark, ["a\nb"])
+        plan = (
+            textops.repetition_stats(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
     def test_langid(self, spark):
         df = _docs_df(
             spark,
@@ -282,6 +317,18 @@ class TestSimHash:
             if "band" in m and "bucket" in m
         ]
         assert len(bb_exchanges) == 1, plan
+
+    def test_simhash_dedup_transitive(self, spark):
+        # exact dups of doc 0 chain into one cluster; min-id survives
+        df = _docs_df(spark, [NEAR_DUP_TEXTS[0], NEAR_DUP_TEXTS[0],
+                              NEAR_DUP_TEXTS[0], NEAR_DUP_TEXTS[2]])
+        bc: list = []
+        kept = sorted(
+            r["doc_id"] for r in textops.simhash_dedup(df, cache=bc).collect()
+        )
+        for h in bc:
+            h.unpersist()
+        assert kept == [0, 3]
 
     def test_simhash_distinct_for_different_text(self, spark):
         df = _docs_df(spark, [NEAR_DUP_TEXTS[0], NEAR_DUP_TEXTS[2]])
