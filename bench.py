@@ -18,6 +18,8 @@ Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
   minhash_dedup          MinHash+LSH near-dup dedup over documents
                          (round-3: transitively correct via cluster resolution)
   dedup_clusters         pair list -> connected-components keep/drop manifest
+  dedup_clusters_reuse   pairs persisted ONCE, consumed by both the pair list
+                         and the manifest (the production chain shape)
   minhash_signatures     the vectorized signature kernel alone
   ngram_jaccard          exact shingle-join Jaccard pairs over documents
   embedding_knn          brute-force cosine top-10, 5 queries x embeddings
