@@ -622,8 +622,12 @@ def q_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket_size mirrors the simhash row: the production hot-bucket
+    # default, far above any bucket this corpus produces (output unchanged)
     d = _read(spark, sf_dir, "documents")
-    return textops.minhash_dedup(d, threshold=0.5).select("doc_id", "lang", "source")
+    return textops.minhash_dedup(
+        d, threshold=0.5, max_bucket_size=10_000
+    ).select("doc_id", "lang", "source")
 
 
 def q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
