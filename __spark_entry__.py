@@ -464,6 +464,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher most-frequent token / bigram shares (textops.top_ngram_stats).
+    Spark computes a sort + longest-run JVM fold; the oracle computes the
+    SAME numbers via unnest -> group-by -> max — independent paths."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.top_ngram_stats(d.select("doc_id", "text")).drop("text")
+
+
 def q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style line-repetition signals (textops.repetition_stats).
 
@@ -805,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "vocab_stats": q_vocab_stats,
         "repetition_stats_docs": q_repetition_stats_docs,
+        "top_ngram_docs": q_top_ngram_docs,
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "corpus_clean": q_corpus_clean,
         "embedding_knn": q_embedding_knn,
@@ -1034,6 +1043,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text, lang, source,
                        ROW_NUMBER() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id) AS rn
                 FROM documents) WHERE rn = 1
+        """,
+        "top_ngram_docs": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS tok
+              FROM documents),
+            tc AS (SELECT doc_id, max(n) AS top_n, sum(n) AS n_tok
+                   FROM (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY doc_id, tok)
+                   GROUP BY doc_id),
+            big AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(t) >= 2
+                            THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                            ELSE [] END) AS bg
+              FROM (SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS t FROM documents)),
+            bc AS (SELECT doc_id, max(n) AS top_b, sum(n) AS n_big
+                   FROM (SELECT doc_id, bg, count(*) AS n FROM big GROUP BY doc_id, bg)
+                   GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(floor(tc.top_n * 10000 / greatest(tc.n_tok, 1)) AS BIGINT) AS t_top_token_frac_e4,
+                   CAST(floor(COALESCE(bc.top_b, 0) * 10000 / greatest(COALESCE(bc.n_big, 1), 1)) AS BIGINT) AS t_top_bigram_frac_e4
+            FROM documents d
+            JOIN tc ON d.doc_id = tc.doc_id
+            LEFT JOIN bc ON d.doc_id = bc.doc_id
         """,
         "repetition_stats_docs": """
             WITH deco AS (

@@ -191,6 +191,66 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array — i.e. the count of the most frequent element — as a single JVM
+    ``aggregate`` fold (struct accumulator: previous element, current run,
+    best run). Zero shuffle, zero Python."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, acc0, step, lambda acc: acc["best"])
+
+
+def top_ngram_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style most-frequent-n-gram shares, pure JVM column exprs.
+
+    Per document (floor-e4 ints):
+
+      t_top_token_frac_e4    occurrences of the most frequent token / tokens
+      t_top_bigram_frac_e4   occurrences of the most frequent word bigram /
+                             bigrams (0 when the doc has < 2 tokens)
+
+    A page dominated by one repeated token/bigram is keyword stuffing or
+    template chrome (Rae et al., Gopher App. A). Computation is a
+    sort + longest-equal-run fold over the per-doc token array — no explode,
+    no shuffle; the DuckDB oracle intentionally computes the same numbers
+    the OTHER way (unnest → group-by → max count), so the check is not
+    circular."""
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    top_tok = _max_run(F.array_sort(toks))
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    top_bi = F.when(n_bi >= 1, _max_run(F.array_sort(bigrams))).otherwise(F.lit(0))
+    return df.select(
+        "*",
+        F.floor(top_tok * 10000 / F.greatest(n_tok, F.lit(1))).alias(
+            "t_top_token_frac_e4"
+        ),
+        F.floor(top_bi * 10000 / F.greatest(n_bi, F.lit(1))).alias(
+            "t_top_bigram_frac_e4"
+        ),
+    )
+
+
 def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID over the ``_STOPWORDS`` profiles
     (en, de, fr, es, it, pt, nl), 'und' when no profile hits.

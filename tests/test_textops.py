@@ -90,6 +90,27 @@ class TestTokenAndQuality:
             assert r["r_dup_line_frac_e4"] == 0
             assert r["r_dup_line_char_frac_e4"] == 0
 
+    def test_top_ngram_stats(self, spark):
+        # "spark spark spark shuffle": top token 'spark' 3/4; bigrams
+        # ['spark spark','spark spark','spark shuffle'] -> top 2/3
+        df = _docs_df(spark, ["spark spark spark shuffle", "one two", "solo"])
+        rows = {r["doc_id"]: r for r in textops.top_ngram_stats(df).collect()}
+        assert rows[0]["t_top_token_frac_e4"] == 7500
+        assert rows[0]["t_top_bigram_frac_e4"] == 6666
+        assert rows[1]["t_top_token_frac_e4"] == 5000
+        assert rows[1]["t_top_bigram_frac_e4"] == 10000  # the single bigram
+        assert rows[2]["t_top_token_frac_e4"] == 10000
+        assert rows[2]["t_top_bigram_frac_e4"] == 0  # < 2 tokens: no bigrams
+
+    def test_top_ngram_stats_plan_is_jvm_only(self, spark):
+        df = _docs_df(spark, ["a b a"])
+        plan = (
+            textops.top_ngram_stats(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
     def test_repetition_stats_plan_is_jvm_only(self, spark):
         # pure column expressions: no shuffle, no Python eval in the plan
         df = _docs_df(spark, ["a\nb"])
