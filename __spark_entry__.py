@@ -542,6 +542,22 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_clean plus the round-4 repetition gate: docs whose most
+    frequent token exceeds 12% of all tokens (keyword stuffing / template
+    chrome — corpus p75-p90 sits at 11-14%, so the gate has teeth) are
+    dropped before dedup. Still one scan, one window, one agg."""
+    d = _read(spark, sf_dir, "documents")
+    scored = textops.top_ngram_stats(textops.langid(textops.quality_score(d)))
+    kept = scored.filter("q_keep AND t_top_token_frac_e4 <= 1200")
+    w = Window.partitionBy(textops.normalized("text")).orderBy("doc_id")
+    ded = kept.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return ded.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("q_n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -816,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_docs": q_top_ngram_docs,
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "corpus_clean": q_corpus_clean,
+        "corpus_clean_full": q_corpus_clean_full,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -1192,6 +1209,44 @@ def oracle_sql() -> dict[str, str]:
                           {' '.join(f"WHEN r_{lang} = {best} THEN '{lang}'" for lang in sorted(textops._STOPWORDS)[:-1])}
                           ELSE '{sorted(textops._STOPWORDS)[-1]}' END AS lang_pred
               FROM base),
+            ded AS (
+              SELECT lang_pred, n_tok,
+                     ROW_NUMBER() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id) AS rn
+              FROM scored WHERE keep)
+            SELECT lang_pred, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM ded WHERE rn = 1 GROUP BY lang_pred
+        """,
+        "corpus_clean_full": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     len(string_split_regex({_NORM_SQL}, '\\s+')) AS n_tok,
+                     length({_NORM_SQL})::DOUBLE AS n_chars,
+                     len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct,
+                     len(list_filter(string_split_regex({_NORM_SQL}, '\\s+'),
+                                     t -> list_contains({sw_en}, t)))::DOUBLE AS sw,
+                     {", ".join(f"{langid_ratio[lang]} AS r_{lang}" for lang in sorted(textops._STOPWORDS))}
+              FROM documents),
+            tg AS (
+              SELECT doc_id,
+                     CAST(floor(max(n) * 10000 / sum(n)) AS BIGINT) AS top_frac
+              FROM (SELECT doc_id, tok, count(*) AS n
+                    FROM (SELECT doc_id,
+                                 unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS tok
+                          FROM documents)
+                    GROUP BY doc_id, tok)
+              GROUP BY doc_id),
+            scored AS (
+              SELECT b.doc_id, b.text, b.n_tok,
+                     (b.n_tok >= 5 AND b.n_chars / greatest(b.n_tok, 1) >= 2.0
+                      AND b.n_chars / greatest(b.n_tok, 1) <= 12.0
+                      AND b.n_punct / greatest(length(b.text), 1) <= 0.3
+                      AND b.sw / greatest(b.n_tok, 1) >= 0.01
+                      AND tg.top_frac <= 1200) AS keep,
+                     CASE WHEN {best} <= 0 THEN 'und'
+                          {' '.join(f"WHEN r_{lang} = {best} THEN '{lang}'" for lang in sorted(textops._STOPWORDS)[:-1])}
+                          ELSE '{sorted(textops._STOPWORDS)[-1]}' END AS lang_pred
+              FROM base b JOIN tg ON b.doc_id = tg.doc_id),
             ded AS (
               SELECT lang_pred, n_tok,
                      ROW_NUMBER() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id) AS rn

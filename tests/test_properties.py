@@ -231,3 +231,86 @@ class TestPathUnescapeLaws:
     def test_single_pass_like_go(self):
         # decoding is single-pass like Go's: %2541 -> '%41' (NOT 'A')
         assert urlkit.path_unescape("%2541") == "%41"
+
+
+class TestRepetitionLaws:
+    """Randomized cross-check of the JVM column-expr repetition/top-n-gram
+    signals against a direct Python ground truth — one Spark job over a
+    seeded batch of synthetic documents (per-example Spark jobs would make
+    hypothesis unusably slow, so this is a seeded-corpus law test)."""
+
+    def _corpus(self, rng, n_docs=60):
+        vocab = ["spark", "shuffle", "the", "a", "join", "scan", "x1", "y2"]
+        docs = []
+        for _ in range(n_docs):
+            n = int(rng.integers(0, 30))
+            docs.append(" ".join(rng.choice(vocab, size=n)) if n else "")
+        return docs
+
+    def test_top_ngram_matches_python_counter(self, spark):
+        from collections import Counter
+
+        from bbcrawl_spark.operators import textops
+
+        rng = np.random.default_rng(4242)
+        docs = self._corpus(rng)
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["t_top_token_frac_e4"], r["t_top_bigram_frac_e4"])
+            for r in textops.top_ngram_stats(df).collect()
+        }
+        for i, doc in enumerate(docs):
+            toks = textops.normalized_py(doc).split(" ") if textops.normalized_py(doc) else [""]
+            want_tok = Counter(toks).most_common(1)[0][1] * 10000 // len(toks)
+            bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            want_bi = (
+                Counter(bigrams).most_common(1)[0][1] * 10000 // len(bigrams)
+                if bigrams else 0
+            )
+            assert got[i] == (want_tok, want_bi), (i, doc, got[i], (want_tok, want_bi))
+
+    def test_repetition_stats_match_python(self, spark):
+        from bbcrawl_spark.operators import textops
+
+        rng = np.random.default_rng(77)
+        base = self._corpus(rng, n_docs=40)
+        # inject newlines + duplicate/bullet/ellipsis lines
+        docs = []
+        for i, d in enumerate(base):
+            lines = d.split(" ")[:6] or [""]
+            if i % 3 == 0:
+                lines += lines[:2]  # duplicate lines
+            if i % 4 == 0:
+                lines.append("- bullet")
+            if i % 5 == 0:
+                lines.append("tail...")
+            docs.append("\n".join(lines))
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (
+                r["r_n_lines"], r["r_dup_line_frac_e4"],
+                r["r_dup_line_char_frac_e4"], r["r_bullet_line_frac_e4"],
+                r["r_ellipsis_line_frac_e4"],
+            )
+            for r in textops.repetition_stats(df).collect()
+        }
+        for i, doc in enumerate(docs):
+            lines = [x.strip(" ") for x in doc.split("\n")]
+            lines = [x for x in lines if x != ""]
+            n = len(lines)
+            n1 = max(n, 1)
+            uniq = list(dict.fromkeys(lines))
+            c_total = sum(len(x) for x in lines)
+            c_dist = sum(len(x) for x in uniq)
+            want = (
+                n,
+                (n - len(uniq)) * 10000 // n1,
+                (c_total - c_dist) * 10000 // max(c_total, 1),
+                sum(x.startswith(("- ", "* ")) for x in lines) * 10000 // n1,
+                sum(x.endswith("...") for x in lines) * 10000 // n1,
+            )
+            assert got[i] == want, (i, doc, got[i], want)
