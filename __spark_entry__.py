@@ -542,6 +542,17 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source token-budget mixing (greedy ordered prefix,
+    textops.token_budget_sample): keep each source's docs in doc_id order
+    while the running whitespace-token total stays <= 500
+    (non-vacuous: sources average ~1300 tokens at sf0.01)."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.token_budget_sample(
+        d.select("doc_id", "source", "text"), budget=500
+    ).select("doc_id", "source", "cum_tokens")
+
+
 def q_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corpus_clean plus the round-4 repetition gate: docs whose most
     frequent token exceeds 12% of all tokens (keyword stuffing / template
@@ -833,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": q_dedup_clusters_docs,
         "corpus_clean": q_corpus_clean,
         "corpus_clean_full": q_corpus_clean_full,
+        "token_budget_sample": q_token_budget_sample,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -1216,6 +1228,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_pred, COUNT(*) AS n_docs,
                    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
             FROM ded WHERE rn = 1 GROUP BY lang_pred
+        """,
+        "token_budget_sample": f"""
+            SELECT doc_id, source, cum_tokens FROM (
+              SELECT doc_id, source,
+                     CAST(SUM(len(string_split_regex({_NORM_SQL}, '\\s+')))
+                          OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS cum_tokens
+              FROM documents)
+            WHERE cum_tokens <= 500
         """,
         "corpus_clean_full": f"""
             WITH base AS (

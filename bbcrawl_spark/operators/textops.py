@@ -251,6 +251,42 @@ def top_ngram_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic corpus mixing under a per-group token budget: within
+    each group (language, source, domain …) keep documents in ``order_col``
+    order while the running token total stays ≤ ``budget`` — the greedy
+    prefix every training-data mixing recipe reduces to, made reproducible
+    by the explicit deterministic order (no RNG).
+
+    Adds ``cum_tokens`` (the inclusive running total) to the kept rows.
+    One exchange on ``group_col``; the running sum is a standard bounded
+    window. Scale note: groups are typically numerous (10^5+ domains), so
+    per-group sequential prefixes parallelize fine — for a FEW giant groups
+    pre-slice by ``order_col`` ranges first, since a greedy prefix is
+    inherently sequential within its group."""
+    tokens = (
+        F.col(token_col)
+        if token_col
+        else F.size(_tokens(F.col(text_col)))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(tokens).over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
 def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID over the ``_STOPWORDS`` profiles
     (en, de, fr, es, it, pt, nl), 'und' when no profile hits.

@@ -102,6 +102,28 @@ class TestTokenAndQuality:
         assert rows[2]["t_top_token_frac_e4"] == 10000
         assert rows[2]["t_top_bigram_frac_e4"] == 0  # < 2 tokens: no bigrams
 
+    def test_token_budget_sample(self, spark):
+        # group 'a': 3+3+3 tokens, budget 7 -> docs 0,1 kept (cum 3,6);
+        # doc 2 (cum 9) overflows. group 'b': one 5-token doc fits exactly.
+        rows = [
+            (0, "a", "one two three"),
+            (1, "a", "x y z"),
+            (2, "a", "p q r"),
+            (3, "b", "a b c d e"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in textops.token_budget_sample(df, budget=7).collect()
+        }
+        assert got == {0: 3, 1: 6, 3: 5}
+        # deterministic: prefix in doc_id order, not an arbitrary subset
+        got5 = sorted(
+            r["doc_id"]
+            for r in textops.token_budget_sample(df, budget=5).collect()
+        )
+        assert got5 == [0, 3]
+
     def test_top_ngram_stats_plan_is_jvm_only(self, spark):
         df = _docs_df(spark, ["a b a"])
         plan = (
