@@ -743,6 +743,36 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_features(media)
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality twin of q_multimodal_features: deterministic FAKEAUD
+    blobs generated spark-side, featurized through the mapInPandas audio
+    pipeline (rows-only — binary codecs are not SQL-expressible)."""
+    from bbcrawl_spark.operators import multimodal
+
+    d = _read(spark, sf_dir, "documents").select("doc_id").limit(64)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(None).cast("binary").alias("blob"),
+        F.lit("audio/fake").alias("mime"),
+        (8000 + (F.col("doc_id") % 2) * 8000).cast("int").alias("width"),
+        (400 + (F.col("doc_id") % 8) * 100).cast("int").alias("height"),
+    )
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which breaks pandas_udf signature inference in this module
+    def _gen(mid, sr, n):
+        return pd.Series(
+            [multimodal.encode_fake_audio(int(a), int(b), seed=int(m))
+             for m, a, b in zip(mid, sr, n)]
+        )
+
+    gen = F.pandas_udf(_gen, BinaryType())
+    media = media.withColumn("blob", gen("media_id", "width", "height"))
+    return multimodal.audio_features(media)
+
+
 def q_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only evidence of the incremental seen-Bloom maintenance: build
     over a base set, OR-in a delta, and report the per-partition operation
@@ -855,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_knn": q_ann_ivf_knn,
         "ann_recall": q_ann_recall,
         "multimodal_features": q_multimodal_features,
+        "multimodal_audio": q_multimodal_audio,
         "bloom_incremental": q_bloom_incremental,
         "crawl_roundtrip": q_crawl_roundtrip,
     }

@@ -185,3 +185,110 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("height") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio (the third modality: FAKEAUD stand-in + pluggable codec registry,
+# same seam pattern as the image decoder)
+# ---------------------------------------------------------------------------
+
+_FAKE_AUD_RE = re.compile(rb"^FAKEAUD:(\d+),(\d+):")
+
+_AUDIO_DECODER: list = []
+
+
+def set_audio_decoder(fn) -> None:
+    """Register the real audio decoder: ``fn(blob: bytes) ->
+    (sample_rate: int, samples: np.ndarray[int16])``. E.g. soundfile/ffmpeg
+    on a real cluster. Captured into operator closures at construction,
+    exactly like ``set_decoder``."""
+    _AUDIO_DECODER[:] = [fn]
+
+
+def get_audio_decoder():
+    return _AUDIO_DECODER[0] if _AUDIO_DECODER else None
+
+
+def reset_audio_decoder() -> None:
+    _AUDIO_DECODER.clear()
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
+    """Deterministic stand-in blob: FAKEAUD header + n int16 pseudo-samples."""
+    rng = np.random.RandomState(seed)
+    payload = rng.randint(-32768, 32768, size=n_samples, dtype=np.int64).astype(
+        np.int16
+    )
+    return b"FAKEAUD:%d,%d:" % (sample_rate, n_samples) + payload.tobytes()
+
+
+def decode_audio(
+    blob: bytes, strict: bool = True, decoder=None
+) -> tuple[int, np.ndarray]:
+    """(sample_rate, int16 samples): FAKEAUD natively, anything else through
+    the pluggable audio decoder registry — no audio codec is installable in
+    this container, so with no decoder registered a non-FAKEAUD blob raises
+    with the seam named."""
+    m = _FAKE_AUD_RE.match(blob or b"")
+    if m:
+        sr, n = int(m.group(1)), int(m.group(2))
+        samples = np.frombuffer(blob[m.end() :], dtype=np.int16)[:n]
+        return sr, samples
+    dec = decoder if decoder is not None else get_audio_decoder()
+    if dec is not None:
+        sr, samples = dec(blob)
+        return int(sr), np.asarray(samples, dtype=np.int16)
+    if strict:
+        raise NotImplementedError(
+            "no audio codec available in this environment; register one with "
+            "bbcrawl_spark.operators.multimodal.set_audio_decoder(fn) — e.g. "
+            "soundfile/ffmpeg on a real cluster"
+        )
+    raise ValueError("unknown audio format")
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("rms_e0", IntegerType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio per Arrow batch (mapInPandas):
+    duration, integer RMS amplitude, zero-crossing count. Batch shape,
+    schema, and registry capture are real; the decode is the FAKEAUD stub
+    until a codec is registered."""
+
+    dec = get_audio_decoder()  # captured NOW — ships to workers in the closure
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                sr, x = decode_audio(bytes(blob), strict=False, decoder=dec)
+                xf = x.astype(np.float64)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": sr,
+                        "n_samples": len(x),
+                        "duration_ms": int(len(x) * 1000 / max(sr, 1)),
+                        "rms_e0": int(np.sqrt((xf * xf).mean()) if len(x) else 0),
+                        "zero_crossings": int(
+                            np.count_nonzero(np.diff(np.signbit(xf)))
+                            if len(x) > 1
+                            else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA]
+            )
+
+    return media.select("media_id", "blob").mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)

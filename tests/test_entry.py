@@ -60,7 +60,7 @@ def test_all_queries_have_entry_or_rows_only():
     assert rows_only <= {
         "minhash_dedup_docs", "simhash_pairs_docs", "ann_lsh_knn", "ann_ivf_knn",
         "ann_recall", "near_dup_recall", "multimodal_features",
-        "bloom_incremental", "crawl_roundtrip",
+        "multimodal_audio", "bloom_incremental", "crawl_roundtrip",
     }
 
 
@@ -73,7 +73,7 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize(
     "name", ["minhash_dedup_docs", "simhash_pairs_docs", "ann_lsh_knn", "ann_ivf_knn",
              "ann_recall", "near_dup_recall", "multimodal_features",
-             "bloom_incremental"]
+             "multimodal_audio", "bloom_incremental"]
 )
 def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF_DIR)

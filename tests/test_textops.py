@@ -555,6 +555,60 @@ class TestMultimodal:
         assert out[0]["width"] == 4 and out[0]["height"] == 2
 
 
+class TestAudio:
+    """The third modality: FAKEAUD stand-in, pluggable codec registry with
+    construction-time capture (same contract as the image decoder)."""
+
+    def teardown_method(self):
+        multimodal.reset_audio_decoder()
+
+    def _media(self, spark, n=4):
+        rows = [
+            (i, multimodal.encode_fake_audio(8000 * (1 + i % 2), 400 + 100 * i, seed=i),
+             "audio/fake", 0, 0)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    def test_fake_roundtrip_deterministic(self):
+        b1 = multimodal.encode_fake_audio(16000, 640, seed=7)
+        b2 = multimodal.encode_fake_audio(16000, 640, seed=7)
+        assert b1 == b2
+        sr, x = multimodal.decode_audio(b1)
+        assert sr == 16000 and len(x) == 640
+
+    def test_strict_error_names_the_registry(self):
+        with pytest.raises(NotImplementedError, match="set_audio_decoder"):
+            multimodal.decode_audio(b"RIFF....WAVE", strict=True)
+
+    def test_features_through_spark(self, spark):
+        rows = {
+            r["media_id"]: r
+            for r in multimodal.audio_features(self._media(spark)).collect()
+        }
+        assert len(rows) == 4
+        r0 = rows[0]
+        assert r0["sample_rate"] == 8000 and r0["n_samples"] == 400
+        assert r0["duration_ms"] == 50  # 400 / 8000 s
+        assert r0["rms_e0"] > 0 and r0["zero_crossings"] > 0
+        # int16 uniform noise RMS ≈ 32768/sqrt(3) ≈ 18900
+        assert 15000 < r0["rms_e0"] < 22000
+
+    def test_pluggable_decoder_captured_at_construction(self, spark):
+        def dec(blob):
+            return 1000, np.zeros(100, dtype=np.int16)
+
+        media = spark.createDataFrame(
+            [(0, b"RIFF-not-fake", "audio/wav", 0, 0)], multimodal.MEDIA_SCHEMA
+        )
+        multimodal.set_audio_decoder(dec)
+        op = multimodal.audio_features(media)  # captures the registry NOW
+        multimodal.reset_audio_decoder()
+        [r] = op.collect()
+        assert r["sample_rate"] == 1000 and r["n_samples"] == 100
+        assert r["rms_e0"] == 0 and r["zero_crossings"] == 0
+
+
 class TestNgramJaccardScaleCap:
     def test_cap_never_creates_false_pairs(self, spark):
         df = _docs_df(spark, NEAR_DUP_TEXTS)
