@@ -542,6 +542,28 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate-line removal (textops.strip_boilerplate_lines).
+
+    The synthetic docs are single-line, so the query builds a deterministic
+    multi-line view with a REAL document-frequency spectrum: a banner line
+    shared by every doc (df=500 -> stripped), a promo line per doc_id%7
+    class (df≈71 -> stripped at cap 50), the original text (low df ->
+    kept), and a signature line per doc_id%97 class (df≈5 -> kept). The
+    oracle recomputes the whole pass in SQL."""
+    d = _read(spark, sf_dir, "documents")
+    deco = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("cookie banner accept all\n"),
+            F.lit("promo "), (F.col("doc_id") % 7).cast("string"), F.lit("\n"),
+            F.col("text"),
+            F.lit("\nsig "), (F.col("doc_id") % 97).cast("string"),
+        ).alias("text"),
+    )
+    return textops.strip_boilerplate_lines(deco, max_line_df=50)
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source token-budget mixing (greedy ordered prefix,
     textops.token_budget_sample): keep each source's docs in doc_id order
@@ -875,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "corpus_clean_full": q_corpus_clean_full,
         "token_budget_sample": q_token_budget_sample,
+        "strip_boilerplate": q_strip_boilerplate,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -1259,6 +1282,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_pred, COUNT(*) AS n_docs,
                    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
             FROM ded WHERE rn = 1 GROUP BY lang_pred
+        """,
+        "strip_boilerplate": """
+            WITH deco AS (
+              SELECT doc_id,
+                     'cookie banner accept all' || chr(10) ||
+                     'promo ' || CAST(doc_id % 7 AS STRING) || chr(10) ||
+                     text ||
+                     chr(10) || 'sig ' || CAST(doc_id % 97 AS STRING) AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ls) + 1),
+                              i -> struct_pack(pos := i, line := ls[i]))) AS u
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM deco))),
+            hot AS (
+              SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY line)
+              WHERE line_df > 50),
+            kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot)),
+            reb AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
         """,
         "token_budget_sample": f"""
             SELECT doc_id, source, cum_tokens FROM (

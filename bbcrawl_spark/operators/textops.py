@@ -251,6 +251,55 @@ def top_ngram_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def strip_boilerplate_lines(
+    df: DataFrame,
+    max_line_df: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus boilerplate removal (the CCNet/Gopher line-dedup pass):
+    drop every line that occurs in more than ``max_line_df`` DISTINCT
+    documents (nav chrome, cookie banners, footers), keeping each
+    document's remaining lines in their original order.
+
+    Returns (``id_col``, clean_text) for EVERY input document — '' when all
+    its lines were boilerplate. Shape: posexplode lines → per-line
+    document-frequency agg (map-side partial; the distinct-doc count
+    shuffles (line, doc) pairs once) → broadcast-sized hot-line anti-join
+    (the hot set is tiny by definition: only lines above the df cap) →
+    re-assemble via ``collect_list(struct(pos, line))`` + ``array_sort`` —
+    order restored without a second sort exchange because the groupBy and
+    the explode share the ``id_col`` hash."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("id").alias("line_df"))
+        .filter(F.col("line_df") > max_line_df)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, F.col(id_col) == rebuilt["id"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budget: int,

@@ -102,6 +102,36 @@ class TestTokenAndQuality:
         assert rows[2]["t_top_token_frac_e4"] == 10000
         assert rows[2]["t_top_bigram_frac_e4"] == 0  # < 2 tokens: no bigrams
 
+    def test_strip_boilerplate_lines(self, spark):
+        # 'cookie banner' appears in 3 docs (df cap 2 -> dropped); unique
+        # lines survive in original order; doc 3 is all boilerplate -> ''
+        docs = [
+            "cookie banner\nreal content one\nmore text",
+            "real content two\ncookie banner",
+            "cookie banner\nunique tail",
+            "cookie banner",
+        ]
+        df = _docs_df(spark, docs)
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in textops.strip_boilerplate_lines(df, max_line_df=2).collect()
+        }
+        assert got == {
+            0: "real content one\nmore text",
+            1: "real content two",
+            2: "unique tail",
+            3: "",
+        }
+
+    def test_strip_boilerplate_keeps_duplicate_lines_within_doc(self, spark):
+        # df counts DISTINCT docs: a line repeated inside ONE doc is not hot
+        df = _docs_df(spark, ["again\nagain\nagain", "other"])
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in textops.strip_boilerplate_lines(df, max_line_df=1).collect()
+        }
+        assert got == {0: "again\nagain\nagain", 1: "other"}
+
     def test_token_budget_sample(self, spark):
         # group 'a': 3+3+3 tokens, budget 7 -> docs 0,1 kept (cum 3,6);
         # doc 2 (cum 9) overflows. group 'b': one 5-token doc fits exactly.
