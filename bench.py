@@ -22,6 +22,7 @@ Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
                          and the manifest (the production chain shape)
   minhash_signatures     the vectorized signature kernel alone
   ngram_jaccard          exact shingle-join Jaccard pairs over documents
+  strip_boilerplate      cross-corpus boilerplate-line removal (line-df pass)
   embedding_knn          brute-force cosine top-10, 5 queries x embeddings
   bloom_full_rebuild_20m / bloom_incr_update_20m
                          one round of seen-Bloom maintenance at 20M keys:
@@ -255,6 +256,15 @@ def main() -> None:
             pairs.unpersist()
 
     timed("dedup_clusters_reuse", dedup_clusters_reuse)
+
+    # cross-corpus boilerplate-line removal (round-4 operator: posexplode ->
+    # line-df agg -> broadcast hot-line anti-join -> ordered reassembly)
+    def strip_boilerplate():
+        import __spark_entry__ as entry
+
+        return entry.q_strip_boilerplate(spark, SF_DIR).count()
+
+    timed("strip_boilerplate", strip_boilerplate)
 
     # flagship curation chain: quality gate -> langid -> exact dedup ->
     # per-language rollup (oracle-checked in the driver gate)
