@@ -96,6 +96,28 @@ class TestCrawlEquivalence:
         assert all("/b0/secret" not in u for u in urls)
         assert all(u not in site.excludes for u in urls)
 
+    def test_crawl_output_feeds_curation_chain(self, run):
+        """System integration: the crawl's fetched texts flow straight into
+        the training-data curation operators — the 100-TB pipeline this
+        engine exists for (crawl -> quality -> langid -> dedup -> repetition
+        signals) runs end-to-end on real crawl output, not synthetic docs."""
+        from bbcrawl_spark.operators import textops
+
+        texts = run[0].fetched_texts().withColumnRenamed("url", "doc_url")
+        docs = texts.selectExpr("xxhash64(doc_url) AS doc_id", "text")
+        n = docs.count()
+        assert n > 0
+        scored = textops.repetition_stats(
+            textops.langid(textops.quality_score(docs))
+        )
+        rows = scored.collect()
+        assert len(rows) == n
+        assert {"q_keep", "lang_pred", "r_n_lines"} <= set(rows[0].asDict())
+        deduped = textops.exact_dedup(docs).count()
+        assert 0 < deduped <= n
+        cleaned = textops.strip_boilerplate_lines(docs, max_line_df=n)
+        assert cleaned.count() == n  # cap above corpus size: nothing stripped
+
     def test_budget_enforced_every_round(self, run):
         per = (
             run[0]._last("fetch_log")
