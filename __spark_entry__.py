@@ -680,10 +680,11 @@ def q_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_bucket_size mirrors the simhash row: the production hot-bucket
-    # default, far above any bucket this corpus produces (output unchanged)
+    # default (2,000 bounds the in-bucket pair array at ~48 MB — see the
+    # operator's memory model), far above any bucket this corpus produces
     d = _read(spark, sf_dir, "documents")
     return textops.minhash_dedup(
-        d, threshold=0.5, max_bucket_size=10_000
+        d, threshold=0.5, max_bucket_size=2_000
     ).select("doc_id", "lang", "source")
 
 
@@ -691,9 +692,10 @@ def q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_bucket_size is the production default: 16-bit bands give only
     # 65,536 buckets/band, so boilerplate clusters need the hot-bucket cap
     # (lower-bound contract; well above any bucket this synthetic corpus
-    # produces, so the row's output is unchanged)
+    # produces, so the row's output is unchanged). 2,000 keeps the
+    # in-bucket pair array ≤ ~48 MB — see the operator's memory model.
     d = _read(spark, sf_dir, "documents")
-    return textops.simhash_pairs(d, max_hamming=3, max_bucket_size=10_000)
+    return textops.simhash_pairs(d, max_hamming=3, max_bucket_size=2_000)
 
 
 def q_ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,32 +738,40 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(e, queries, dim=64, k=10)
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bbcrawl_spark.operators import multimodal
+def _fake_media(spark: SparkSession, sf_dir: str, encoder, mime: str,
+                a_col, b_col) -> DataFrame:
+    """64 deterministic fake-media rows generated spark-side: ``encoder``
+    (encode_fake_image / encode_fake_audio) runs in a pandas UDF over the
+    two per-row int params (width/height or sample_rate/n_samples)."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
 
     d = _read(spark, sf_dir, "documents").select("doc_id").limit(64)
     media = d.select(
         F.col("doc_id").alias("media_id"),
-        F.lit(None).cast("binary").alias("blob"),
-        F.lit("image/fake").alias("mime"),
-        (8 + F.col("doc_id") % 8).cast("int").alias("width"),
-        (4 + F.col("doc_id") % 4).cast("int").alias("height"),
+        F.lit(mime).alias("mime"),
+        a_col.cast("int").alias("width"),
+        b_col.cast("int").alias("height"),
     )
-    # deterministic FAKEIMG blobs generated spark-side
-    import pandas as pd
-    from pyspark.sql.types import BinaryType
 
     # no type hints: `from __future__ import annotations` stringifies them,
     # which breaks pandas_udf signature inference in this module
-    def _gen(mid, w, h):
+    def _gen(mid, a, b):
         return pd.Series(
-            [multimodal.encode_fake_image(int(a), int(b), seed=int(m))
-             for m, a, b in zip(mid, w, h)]
+            [encoder(int(x), int(y), seed=int(m)) for m, x, y in zip(mid, a, b)]
         )
 
     gen = F.pandas_udf(_gen, BinaryType())
+    return media.withColumn("blob", gen("media_id", "width", "height"))
 
-    media = media.withColumn("blob", gen("media_id", "width", "height"))
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bbcrawl_spark.operators import multimodal
+
+    media = _fake_media(
+        spark, sf_dir, multimodal.encode_fake_image, "image/fake",
+        8 + F.col("doc_id") % 8, 4 + F.col("doc_id") % 4,
+    )
     return multimodal.image_features(media)
 
 
@@ -771,27 +781,10 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (rows-only — binary codecs are not SQL-expressible)."""
     from bbcrawl_spark.operators import multimodal
 
-    d = _read(spark, sf_dir, "documents").select("doc_id").limit(64)
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit(None).cast("binary").alias("blob"),
-        F.lit("audio/fake").alias("mime"),
-        (8000 + (F.col("doc_id") % 2) * 8000).cast("int").alias("width"),
-        (400 + (F.col("doc_id") % 8) * 100).cast("int").alias("height"),
+    media = _fake_media(
+        spark, sf_dir, multimodal.encode_fake_audio, "audio/fake",
+        8000 + (F.col("doc_id") % 2) * 8000, 400 + (F.col("doc_id") % 8) * 100,
     )
-    import pandas as pd
-    from pyspark.sql.types import BinaryType
-
-    # no type hints: `from __future__ import annotations` stringifies them,
-    # which breaks pandas_udf signature inference in this module
-    def _gen(mid, sr, n):
-        return pd.Series(
-            [multimodal.encode_fake_audio(int(a), int(b), seed=int(m))
-             for m, a, b in zip(mid, sr, n)]
-        )
-
-    gen = F.pandas_udf(_gen, BinaryType())
-    media = media.withColumn("blob", gen("media_id", "width", "height"))
     return multimodal.audio_features(media)
 
 

@@ -207,7 +207,13 @@ def make_extract_vb_udf(headernames: bool = False):
     (crawlers.go:295-305): out_name is the ``{postid}-{attid}`` prefix, to be
     completed from the download's Content-Disposition header afterwards
     (afterdownload.go:27-46) — see ``complete_headernames`` in plans/round.py.
+
+    Captures the ``htmlkit.set_parser`` registry at construction, like
+    ``make_extract_fused_udf``.
     """
+    from .. import htmlkit
+
+    html_parser = htmlkit.get_parser()  # captured NOW — ships via cloudpickle
 
     @pandas_udf(EXTRACTED_FILE_SCHEMA)
     def extract_vb(html: pd.Series, url: pd.Series, content_type: pd.Series) -> pd.Series:
@@ -215,7 +221,8 @@ def make_extract_vb_udf(headernames: bool = False):
             if b is None:
                 return []
             text = decode_html(bytes(b), ct or CT_DEFAULT)
-            return _rows(extract.extract_vb_attachments(text, u, headernames=headernames))
+            return _rows(extract.extract_vb_attachments(
+                text, u, headernames=headernames, parser=html_parser))
 
         return pd.Series([_one(b, u, ct) for b, u, ct in zip(html, url, content_type)])
 
@@ -229,7 +236,11 @@ extract_vb_udf = make_extract_vb_udf(False)
 def make_extract_srcs_udf(tags: tuple[str, ...] = extract.SRC_TAGS,
                           attrs: list[tuple[str, str]] | None = None):
     """H7/H8: src crawler as a pandas UDF; tags/attrs are config-time
-    (the reference parses them from -tags/-attrs flags)."""
+    (the reference parses them from -tags/-attrs flags). Captures the
+    ``htmlkit.set_parser`` registry at construction."""
+    from .. import htmlkit
+
+    html_parser = htmlkit.get_parser()  # captured NOW — ships via cloudpickle
 
     @pandas_udf(EXTRACTED_FILE_SCHEMA)
     def extract_srcs_udf(
@@ -239,7 +250,8 @@ def make_extract_srcs_udf(tags: tuple[str, ...] = extract.SRC_TAGS,
             if b is None:
                 return []
             text = decode_html(bytes(b), ct or CT_DEFAULT)
-            return _rows(extract.extract_srcs(text, u, int(p), tags, attrs))
+            return _rows(extract.extract_srcs(
+                text, u, int(p), tags, attrs, parser=html_parser))
 
         return pd.Series(
             [_one(b, u, p, ct) for b, u, p, ct in zip(html, url, page_num, content_type)]

@@ -105,10 +105,14 @@ class _TreeBuilder(HTMLParser):
 #: registered tree builder (driver-side), mirroring
 #: ``operators.multimodal.set_decoder``. A cluster wires a C parser
 #: (selectolax/lxml) here instead of editing this module; the registered
-#: function is captured into each extraction UDF's closure at
-#: UDF-CONSTRUCTION time (``make_extract_fused_udf``) and ships to executors
-#: via cloudpickle — mutating this module global alone would never reach the
-#: separate worker processes.
+#: function is captured into the extraction-UDF FACTORIES' closures at
+#: UDF-CONSTRUCTION time (``make_extract_fused_udf`` — the round-loop path —
+#: plus ``make_extract_vb_udf`` / ``make_extract_srcs_udf``) and ships to
+#: executors via cloudpickle — mutating this module global alone would never
+#: reach the separate worker processes. The two MODULE-LEVEL udfs
+#: (``extract_text_udf`` / ``extract_links_udf``) are constructed at import
+#: time and therefore always use the stdlib parser; they exist as the
+#: split-path comparison rows in bench.py, not as production paths.
 _PARSER: list = []
 
 

@@ -132,6 +132,8 @@ def image_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                if blob is None:
+                    continue  # metadata-only / failed-fetch row: skip
                 img = decode_image(bytes(blob), strict=False, decoder=dec)
                 rows.append(
                     {
@@ -160,6 +162,8 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                if blob is None:
+                    continue  # metadata-only / failed-fetch row: skip
                 img = decode_image(bytes(blob), strict=False, decoder=dec)
                 ys = (np.arange(out_h) * img.shape[0] // out_h).clip(0, img.shape[0] - 1)
                 xs = (np.arange(out_w) * img.shape[1] // out_w).clip(0, img.shape[1] - 1)
@@ -271,6 +275,8 @@ def audio_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                if blob is None:
+                    continue  # metadata-only / failed-fetch row: skip
                 sr, x = decode_audio(bytes(blob), strict=False, decoder=dec)
                 xf = x.astype(np.float64)
                 rows.append(

@@ -265,11 +265,16 @@ def strip_boilerplate_lines(
     Returns (``id_col``, clean_text) for EVERY input document — '' when all
     its lines were boilerplate. Shape: posexplode lines → per-line
     document-frequency agg (map-side partial; the distinct-doc count
-    shuffles (line, doc) pairs once) → broadcast-sized hot-line anti-join
-    (the hot set is tiny by definition: only lines above the df cap) →
-    re-assemble via ``collect_list(struct(pos, line))`` + ``array_sort`` —
-    order restored without a second sort exchange because the groupBy and
-    the explode share the ``id_col`` hash."""
+    shuffles (line, doc) pairs once) → hot-line anti-join → re-assemble via
+    ``collect_list(struct(pos, line))`` + ``array_sort`` — order restored
+    without a second sort exchange because the groupBy and the explode
+    share the ``id_col`` hash.
+
+    The hot-line join is deliberately NOT hint-broadcast: the df cap bounds
+    each hot line's frequency from BELOW, not the number of distinct hot
+    lines — at 10^9 docs every site's nav/footer line is hot, so the hot
+    set can be tens of millions of rows. AQE broadcasts it when it is
+    actually small and falls back to a shuffle anti-join when it is not."""
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -280,7 +285,7 @@ def strip_boilerplate_lines(
         .filter(F.col("line_df") > max_line_df)
         .select("line")
     )
-    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    kept = lines.join(hot, "line", "left_anti")
     rebuilt = kept.groupBy("id").agg(
         F.concat_ws(
             "\n",
@@ -609,9 +614,18 @@ def minhash_lsh_pairs(
     ``ngram_jaccard_pairs(max_shingle_df=...)``). The cap is enforced as a
     window count over (band, bucket) ahead of the ``collect_list``: WindowExec
     spills its row buffer to disk, so a 10^7-member boilerplate bucket never
-    OOMs an executor the way an uncapped ``collect_list`` array would, and the
+    reaches the ``collect_list`` the way an uncapped plan would, and the
     window's (band, bucket) exchange is the SAME partitioning the groupBy
     needs, so Catalyst inserts no second shuffle.
+
+    Memory model for choosing the cap: a surviving bucket of k members holds
+    its k (id, sig) structs (~0.5 KB each at 64 hashes) in the collect_list
+    row, and the in-bucket expansion builds ≤ k(k-1)/2 pre-filter pair
+    structs of ~24 bytes (the signature agreement is computed inline, the
+    signatures themselves are never copied into pairs). k = 2,000 → ~2 MB
+    members + ~48 MB pair array per bucket row — comfortable; k = 10,000 →
+    ~1.2 GB pair array, approaching the 2 GB single-value limit. Keep the
+    cap in the low thousands.
     """
     rows = num_hashes // bands
     udf = make_minhash_udf(num_hashes, shingle_n)
@@ -639,32 +653,40 @@ def minhash_lsh_pairs(
         .agg(F.collect_list(F.struct("id", "sig")).alias("mem"))
         .filter(F.size("mem") >= 2)
     )
-    # all i<j pairs within the bucket; sort by id first so id_a < id_b holds
+    # all i<j pairs within the bucket; sort by id first so id_a < id_b holds.
+    # The signature agreement is computed INLINE in the expansion lambda, so
+    # each pair struct is (long, long, double) ≈ 24 bytes — NOT two 64-long
+    # signatures (~1 KB) — and the threshold filter prunes the array BEFORE
+    # explode: sub-threshold candidates (the majority in collision-heavy
+    # buckets) never reach the dropDuplicates exchange.
     ms = F.array_sort("mem")
-    pairs_arr = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + F.lit(2), F.size(ms)),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["sig"].alias("sig_a"),
-                    y["sig"].alias("sig_b"),
-                ),
-            ),
+
+    def _pair(x, y):
+        est = F.size(
+            F.filter(F.zip_with(x["sig"], y["sig"], lambda a, b: a == b),
+                     lambda v: v)
+        ).cast("double") / F.lit(num_hashes)
+        return F.struct(
+            x["id"].alias("id_a"), y["id"].alias("id_b"),
+            est.alias("est_jaccard"),
         )
+
+    pairs_arr = F.filter(
+        F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda y: _pair(x, y),
+                ),
+            )
+        ),
+        lambda p: p["est_jaccard"] >= threshold,
     )
-    cand = (
+    return (
         grouped.select(F.explode(pairs_arr).alias("p"))
         .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
-    ).cast("double") / F.lit(num_hashes)
-    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= threshold
     )
 
 
@@ -763,6 +785,10 @@ def simhash_pairs(
     materialization. Contract: results become a LOWER BOUND of the true
     candidate set — a dropped bucket can only lose pairs, never invent one,
     because every emitted pair still carries its exact Hamming distance.
+    Memory model: a surviving bucket of k members expands to ≤ k(k-1)/2
+    24-byte (id_a, id_b, hamming) structs in one row before the explode
+    (hamming is computed inline; signatures are never copied into pairs) —
+    keep the cap in the low thousands (k = 2,000 → ~48 MB per bucket row).
     """
     sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sim"))
     bands = [
@@ -778,28 +804,31 @@ def simhash_pairs(
         .agg(F.collect_list(F.struct("id", "sim")).alias("mem"))
         .filter(F.size("mem") >= 2)
     )
+    # hamming computed INLINE (24-byte pair structs) and filtered BEFORE
+    # explode — band collisions between unrelated docs (hamming >> cap are
+    # the majority at 16-bit buckets) never reach the dropDuplicates
+    # exchange.
     ms = F.array_sort("mem")
-    pairs_arr = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + F.lit(2), F.size(ms)),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["sim"].alias("sim_a"),
-                    y["sim"].alias("sim_b"),
+    pairs_arr = F.filter(
+        F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming"),
+                    ),
                 ),
-            ),
-        )
+            )
+        ),
+        lambda p: p["hamming"] <= max_hamming,
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         grouped.select(F.explode(pairs_arr).alias("p"))
         .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -303,6 +303,12 @@ class TestFusedExtraction:
         assert row["text"] == "" and row["links"] == [] and row["files"] == []
 
 
+def _rewrite_att9_parser(text):
+    """Registry fixture for the vb factory: hides attachment9 before tree
+    building, so the row count proves WHICH parser built the tree."""
+    return htmlkit._parse_html_stdlib(text.replace("attachment9", "notanatt"))
+
+
 def _shout_parser(text):
     """Registry fixture: a replacement tree builder (stands in for
     selectolax/lxml on a real cluster) that uppercases every text node —
@@ -354,6 +360,31 @@ class TestPluggableParser:
         ).first()["_ex"]
         assert row["text"] == "HELLOLINK"
         assert [l["anchor_text"] for l in row["links"]] == ["LINK"]
+
+    def test_vb_factory_honors_registry(self, spark):
+        from pyspark.sql import functions as F
+
+        from bbcrawl_spark.functions.udfs import CT_DEFAULT, make_extract_vb_udf
+
+        df = spark.createDataFrame(
+            [("http://f.ex/t/1", bytearray(VB4_PAGE.encode()), 0)],
+            "url string, html binary, page_num int",
+        )
+
+        def _attr_ids(vb):
+            rows = df.select(
+                F.explode(vb("html", "url", F.lit(CT_DEFAULT))).alias("f")
+            ).select("f.*").collect()
+            return sorted(r["att_id"] for r in rows if not r["err"])
+
+        default_ids = _attr_ids(make_extract_vb_udf())
+        htmlkit.set_parser(_rewrite_att9_parser)
+        vb = make_extract_vb_udf()  # captures the registry NOW
+        htmlkit.reset_parser()
+        mutated_ids = _attr_ids(vb)
+        # the registered parser hid attachment9 BEFORE tree building, so the
+        # vb walk provably ran over ITS tree: one fewer extracted attachment
+        assert len(mutated_ids) == len(default_ids) - 1
 
     def test_udf_built_before_registration_keeps_default(self, spark):
         from pyspark.sql import functions as F

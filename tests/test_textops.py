@@ -624,6 +624,24 @@ class TestAudio:
         # int16 uniform noise RMS ≈ 32768/sqrt(3) ≈ 18900
         assert 15000 < r0["rms_e0"] < 22000
 
+    def test_null_blob_rows_are_skipped(self, spark):
+        # failed-fetch / metadata-only rows carry NULL blobs — the stage
+        # must skip them, not die in bytes(None) (image twin covered too)
+        rows = [
+            (0, multimodal.encode_fake_audio(8000, 100, seed=1), "audio/fake", 0, 0),
+            (1, None, "audio/fake", 0, 0),
+        ]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = multimodal.audio_features(media).collect()
+        assert [r["media_id"] for r in got] == [0]
+        img_rows = [
+            (0, multimodal.encode_fake_image(4, 4, seed=1), "image/fake", 4, 4),
+            (1, None, "image/fake", 4, 4),
+        ]
+        img = spark.createDataFrame(img_rows, multimodal.MEDIA_SCHEMA)
+        assert [r["media_id"] for r in multimodal.image_features(img).collect()] == [0]
+        assert [r["media_id"] for r in multimodal.resize_images(img, 2, 2).collect()] == [0]
+
     def test_pluggable_decoder_captured_at_construction(self, spark):
         def dec(blob):
             return 1000, np.zeros(100, dtype=np.int16)
