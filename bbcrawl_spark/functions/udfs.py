@@ -213,7 +213,7 @@ def make_extract_vb_udf(headernames: bool = False):
     """
     from .. import htmlkit
 
-    html_parser = htmlkit.get_parser()  # captured NOW — ships via cloudpickle
+    html_parser = htmlkit.resolve_parser()  # resolved + captured NOW — ships via cloudpickle
 
     @pandas_udf(EXTRACTED_FILE_SCHEMA)
     def extract_vb(html: pd.Series, url: pd.Series, content_type: pd.Series) -> pd.Series:
@@ -240,7 +240,7 @@ def make_extract_srcs_udf(tags: tuple[str, ...] = extract.SRC_TAGS,
     ``htmlkit.set_parser`` registry at construction."""
     from .. import htmlkit
 
-    html_parser = htmlkit.get_parser()  # captured NOW — ships via cloudpickle
+    html_parser = htmlkit.resolve_parser()  # resolved + captured NOW — ships via cloudpickle
 
     @pandas_udf(EXTRACTED_FILE_SCHEMA)
     def extract_srcs_udf(
@@ -300,7 +300,7 @@ def make_extract_fused_udf(
     """
     from .. import htmlkit
 
-    html_parser = htmlkit.get_parser()  # captured NOW — ships via cloudpickle
+    html_parser = htmlkit.resolve_parser()  # resolved + captured NOW — ships via cloudpickle
 
     def _files(doc, u, p) -> list[dict]:
         if crawler == "vb-attachments":

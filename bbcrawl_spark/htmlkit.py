@@ -132,6 +132,18 @@ def get_parser():
     return _PARSER[0] if _PARSER else None
 
 
+def resolve_parser():
+    """The builder a UDF factory should CAPTURE at construction time: the
+    registered parser if any, else the stdlib builder. Capturing the
+    *resolved* function (not ``None``) keeps the documented
+    construction-time-capture contract even when driver and execution share
+    a process (driver-side calls, thread-based workers): a UDF built before
+    ``set_parser`` must keep the stdlib parser, never pick up a
+    later-registered one via the runtime registry fallback in
+    ``parse_html``."""
+    return get_parser() or _parse_html_stdlib
+
+
 def reset_parser() -> None:
     _PARSER.clear()
 

@@ -170,24 +170,32 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n1 = F.greatest(n_lines, F.lit(1))
     distinct_lines = F.array_distinct(lines)
     n_dup = n_lines - F.size(distinct_lines)
-    chars_total = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
-    chars_distinct = F.aggregate(
-        distinct_lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    # Long accumulators + long scaling: int32 counts * 10000 hit ANSI
+    # ARITHMETIC_OVERFLOW at ~215k duplicate-line chars / token repeats —
+    # exactly the pathological boilerplate pages these detectors exist to
+    # flag at 100-TB scale (same int32-at-scale class as the crawl_order
+    # rank fix in plans/round.py).
+    chars_total = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
-    c1 = F.greatest(chars_total, F.lit(1))
+    chars_distinct = F.aggregate(
+        distinct_lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    c1 = F.greatest(chars_total, F.lit(1).cast("long"))
     bullet = F.size(
         F.filter(lines, lambda x: x.startswith("- ") | x.startswith("* "))
     )
     ellipsis = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    e4 = F.lit(10000).cast("long")
     return df.select(
         "*",
         n_lines.alias("r_n_lines"),
-        F.floor(n_dup * 10000 / n1).alias("r_dup_line_frac_e4"),
-        F.floor((chars_total - chars_distinct) * 10000 / c1).alias(
+        F.floor(n_dup * e4 / n1).alias("r_dup_line_frac_e4"),
+        F.floor((chars_total - chars_distinct) * e4 / c1).alias(
             "r_dup_line_char_frac_e4"
         ),
-        F.floor(bullet * 10000 / n1).alias("r_bullet_line_frac_e4"),
-        F.floor(ellipsis * 10000 / n1).alias("r_ellipsis_line_frac_e4"),
+        F.floor(bullet * e4 / n1).alias("r_bullet_line_frac_e4"),
+        F.floor(ellipsis * e4 / n1).alias("r_ellipsis_line_frac_e4"),
     )
 
 
@@ -240,12 +248,16 @@ def top_ngram_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     n_bi = F.size(bigrams)
     top_bi = F.when(n_bi >= 1, _max_run(F.array_sort(bigrams))).otherwise(F.lit(0))
+    # Long scaling for the same ANSI-overflow reason as repetition_stats:
+    # top_tok/top_bi are int32 run lengths, and ~215k repeats of one token
+    # (keyword-stuffed spam — precisely what this flags) overflows *10000.
+    e4 = F.lit(10000).cast("long")
     return df.select(
         "*",
-        F.floor(top_tok * 10000 / F.greatest(n_tok, F.lit(1))).alias(
+        F.floor(top_tok * e4 / F.greatest(n_tok, F.lit(1))).alias(
             "t_top_token_frac_e4"
         ),
-        F.floor(top_bi * 10000 / F.greatest(n_bi, F.lit(1))).alias(
+        F.floor(top_bi * e4 / F.greatest(n_bi, F.lit(1))).alias(
             "t_top_bigram_frac_e4"
         ),
     )

@@ -101,6 +101,16 @@ def parse_warc_stream(f) -> Iterator[dict]:
                 )
         length = int(hdrs.get("content-length", "0"))
         block = f.read(length)
+        if len(block) != length:
+            # A truncated .warc/.warc.gz (partial segment download) must
+            # fail loudly here: a silently short final record would feed a
+            # short page body downstream, and the desynced header loop
+            # would then blame the payload with a misleading "not a WARC
+            # record" error mid-file.
+            raise ValueError(
+                f"truncated WARC record: Content-Length {length} but only "
+                f"{len(block)} bytes available (uri={hdrs.get('warc-target-uri', '')!r})"
+            )
         yield {
             "type": hdrs.get("warc-type", ""),
             "uri": hdrs.get("warc-target-uri", ""),

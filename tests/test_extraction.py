@@ -386,6 +386,29 @@ class TestPluggableParser:
         # vb walk provably ran over ITS tree: one fewer extracted attachment
         assert len(mutated_ids) == len(default_ids) - 1
 
+    def test_resolve_parser_captures_driver_side(self):
+        # The factories capture htmlkit.resolve_parser() — the RESOLVED
+        # builder, never None. This pins the contract in the sharp case the
+        # Spark test below can't see: when driver and execution share a
+        # process (driver-side calls, thread workers), a builder resolved
+        # BEFORE set_parser must stay the stdlib one — parse_html must not
+        # re-consult the registry for an already-constructed UDF.
+        captured = htmlkit.resolve_parser()  # registry empty -> stdlib
+        htmlkit.set_parser(_shout_parser)  # too late for `captured`
+        try:
+            root = htmlkit.parse_html("<p>hello</p>", parser=captured)
+            texts = []
+            htmlkit.walk_tree(
+                root,
+                lambda n: (texts.append(n.data) if n.type == htmlkit.TEXT else True)
+                or True,
+                None,
+            )
+            assert "hello" in texts  # not "HELLO"
+            assert htmlkit.resolve_parser() is _shout_parser
+        finally:
+            htmlkit.reset_parser()
+
     def test_udf_built_before_registration_keeps_default(self, spark):
         from pyspark.sql import functions as F
 

@@ -28,6 +28,20 @@ class TestFraming:
         with pytest.raises(ValueError, match="not a WARC record"):
             list(warc.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n"))
 
+    def test_truncated_record_fails_loudly(self):
+        # A partial segment download must raise, not yield a silently short
+        # final page body (or desync the header loop into the payload).
+        recs = [("http://a.ex/1", DATE, b"X" * 100, {"Content-Type": "text/html"})]
+        data = warc.build_warc(recs)
+        with pytest.raises(ValueError, match="truncated WARC record"):
+            list(warc.parse_warc(data[:-60]))
+        # same contract through the gzip path (truncate the DECOMPRESSED
+        # stream semantics by rebuilding a gzip of the cut bytes)
+        import gzip as _gzip
+
+        with pytest.raises(ValueError, match="truncated WARC record"):
+            list(warc.parse_warc(_gzip.compress(data[:-60])))
+
     def test_gzip_never_decompressed_whole(self, monkeypatch):
         # Scale pin: a ~1 GB CC segment decompresses to ~4-5 GB — the parser
         # must stream per-member (GzipFile), never gzip.decompress the file.
