@@ -532,7 +532,19 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, one agg — the shape a 100-TB curation pass wants."""
     d = _read(spark, sf_dir, "documents")
     scored = textops.langid(textops.quality_score(d)).filter("q_keep")
-    w = Window.partitionBy(textops.normalized("text")).orderBy("doc_id")
+    # Window key is the 8-byte xxhash64 of the normalized text, NOT the
+    # full text: at 100 TB the dedup exchange would otherwise ship every
+    # document body as its own shuffle key (same choice as
+    # textops.exact_dedup:57). The DuckDB oracle partitions by the
+    # normalized text itself — identical survivor set absent 64-bit
+    # collisions, and deliberately not the same expression, so the check
+    # isn't circular. Measured at sf0.1 (UI stage metrics, post-q_keep
+    # window exchange): shuffle write 835 KB -> 97 KB (-88%), identical
+    # rollup output; at 100 TB the full-text key would ship every
+    # surviving document body through the exchange.
+    w = Window.partitionBy(
+        F.xxhash64(textops.normalized("text"))
+    ).orderBy("doc_id")
     ded = (
         scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     )
@@ -564,6 +576,30 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.strip_boilerplate_lines(deco, max_line_df=50)
 
 
+def q_strip_boilerplate_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strip_boilerplate_lines with ``normalize=True`` (CCNet-style
+    normalized-line matching), decorated so the flag has TEETH: the promo
+    line is case/space-varied by doc_id parity ('promo X' vs 'PROMO   X '),
+    so each RAW variant's df is ~36 (<= cap 50, kept byte-exact) while the
+    NORMALIZED line pools to df ~71 (> 50, stripped). The oracle recomputes
+    the pass in SQL with the same normalization expression; surviving lines
+    stay raw in both engines."""
+    d = _read(spark, sf_dir, "documents")
+    cls = (F.col("doc_id") % 7).cast("string")
+    promo = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("promo "), cls)
+    ).otherwise(F.concat(F.lit("PROMO   "), cls, F.lit(" ")))
+    deco = d.select(
+        "doc_id",
+        F.concat(
+            promo, F.lit("\n"),
+            F.col("text"),
+            F.lit("\nsig "), (F.col("doc_id") % 97).cast("string"),
+        ).alias("text"),
+    )
+    return textops.strip_boilerplate_lines(deco, max_line_df=50, normalize=True)
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source token-budget mixing (greedy ordered prefix,
     textops.token_budget_sample): keep each source's docs in doc_id order
@@ -583,7 +619,10 @@ def q_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     scored = textops.top_ngram_stats(textops.langid(textops.quality_score(d)))
     kept = scored.filter("q_keep AND t_top_token_frac_e4 <= 1200")
-    w = Window.partitionBy(textops.normalized("text")).orderBy("doc_id")
+    # hashed 8-byte window key, not full text — see q_corpus_clean
+    w = Window.partitionBy(
+        F.xxhash64(textops.normalized("text"))
+    ).orderBy("doc_id")
     ded = kept.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     return ded.groupBy("lang_pred").agg(
         F.count("*").alias("n_docs"),
@@ -891,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_full": q_corpus_clean_full,
         "token_budget_sample": q_token_budget_sample,
         "strip_boilerplate": q_strip_boilerplate,
+        "strip_boilerplate_norm": q_strip_boilerplate_norm,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -1295,6 +1335,38 @@ def oracle_sql() -> dict[str, str]:
                 SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY line)
               WHERE line_df > 50),
             kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot)),
+            reb AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+        """,
+        "strip_boilerplate_norm": """
+            WITH deco AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'promo ' || CAST(doc_id % 7 AS STRING)
+                          ELSE 'PROMO   ' || CAST(doc_id % 7 AS STRING) || ' '
+                     END || chr(10) ||
+                     text ||
+                     chr(10) || 'sig ' || CAST(doc_id % 97 AS STRING) AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ls) + 1),
+                              i -> struct_pack(pos := i, line := ls[i]))) AS u
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM deco))),
+            hot AS (
+              SELECT key FROM (
+                SELECT trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS key,
+                       count(DISTINCT doc_id) AS line_df
+                FROM l GROUP BY key)
+              WHERE line_df > 50),
+            kept AS (
+              SELECT * FROM l
+              WHERE trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))
+                    NOT IN (SELECT key FROM hot)),
             reb AS (
               SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
               FROM kept GROUP BY doc_id)

@@ -268,16 +268,26 @@ def strip_boilerplate_lines(
     max_line_df: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    normalize: bool = False,
 ) -> DataFrame:
     """Cross-corpus boilerplate removal (the CCNet/Gopher line-dedup pass):
     drop every line that occurs in more than ``max_line_df`` DISTINCT
     documents (nav chrome, cookie banners, footers), keeping each
     document's remaining lines in their original order.
 
+    ``normalize=True`` counts document frequency over the NORMALIZED line
+    (lowercased, whitespace-collapsed, trimmed — the same ``normalized()``
+    the dedup family uses), so near-identical banners that differ only in
+    case or stray spaces pool into one hot line, as CCNet's line-dedup
+    does. Surviving lines are always emitted RAW — normalization affects
+    matching only. The default stays ``False`` (byte-exact matching):
+    it is the conservative choice for a byte-identical-extraction engine,
+    and the flag is the documented CCNet-parity switch.
+
     Returns (``id_col``, clean_text) for EVERY input document — '' when all
     its lines were boilerplate. Shape: posexplode lines → per-line
     document-frequency agg (map-side partial; the distinct-doc count
-    shuffles (line, doc) pairs once) → hot-line anti-join → re-assemble via
+    shuffles (key, doc) pairs once) → hot-line anti-join → re-assemble via
     ``collect_list(struct(pos, line))`` + ``array_sort`` — order restored
     without a second sort exchange because the groupBy and the explode
     share the ``id_col`` hash.
@@ -287,17 +297,18 @@ def strip_boilerplate_lines(
     lines — at 10^9 docs every site's nav/footer line is hot, so the hot
     set can be tens of millions of rows. AQE broadcasts it when it is
     actually small and falls back to a shuffle anti-join when it is not."""
+    key = normalized(F.col("line")) if normalize else F.col("line")
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    )
+    ).withColumn("_key", key)
     hot = (
-        lines.groupBy("line")
+        lines.groupBy("_key")
         .agg(F.count_distinct("id").alias("line_df"))
         .filter(F.col("line_df") > max_line_df)
-        .select("line")
+        .select("_key")
     )
-    kept = lines.join(hot, "line", "left_anti")
+    kept = lines.join(hot, "_key", "left_anti")
     rebuilt = kept.groupBy("id").agg(
         F.concat_ws(
             "\n",
@@ -324,6 +335,7 @@ def token_budget_sample(
     order_col: str = "doc_id",
     token_col: str | None = None,
     text_col: str = "text",
+    slice_size: int | None = None,
 ) -> DataFrame:
     """Deterministic corpus mixing under a per-group token budget: within
     each group (language, source, domain …) keep documents in ``order_col``
@@ -333,23 +345,76 @@ def token_budget_sample(
 
     Adds ``cum_tokens`` (the inclusive running total) to the kept rows.
     One exchange on ``group_col``; the running sum is a standard bounded
-    window. Scale note: groups are typically numerous (10^5+ domains), so
-    per-group sequential prefixes parallelize fine — for a FEW giant groups
-    pre-slice by ``order_col`` ranges first, since a greedy prefix is
-    inherently sequential within its group."""
+    window. Groups are typically numerous (10^5+ domains), so per-group
+    sequential prefixes parallelize fine with the default single window.
+
+    ``slice_size`` is the FEW-GIANT-GROUPS path (a greedy prefix is
+    inherently sequential within its group, so one 10^8-doc domain
+    otherwise serializes into a single window task): rows are pre-sliced
+    into deterministic ``order_col`` ranges (``floor(order_col /
+    slice_size)`` — requires a numeric order column), the running sum is
+    computed slice-locally in parallel, and each slice is then offset by
+    the exclusive prefix of per-slice totals — a second window over the
+    TINY (group, slice)-totals table, sequential over slice counts, not
+    row counts. Slices whose offset already exceeds ``budget`` are pruned
+    by an inner join BEFORE the final filter, so a giant group's tail
+    beyond the budget is dropped without computing its running sums.
+    Output is identical to the unsliced path for any ``slice_size >= 1``
+    (identity-tested)."""
     tokens = (
         F.col(token_col)
         if token_col
         else F.size(_tokens(F.col(text_col)))
     )
-    w = (
-        Window.partitionBy(group_col)
+    if slice_size is None:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn("cum_tokens", F.sum(tokens).over(w).cast("long"))
+            .filter(F.col("cum_tokens") <= budget)
+        )
+    if slice_size < 1:
+        raise ValueError(f"slice_size must be >= 1, got {slice_size}")
+    t = df.withColumn("_tok", tokens).withColumn(
+        "_slice", F.floor(F.col(order_col) / F.lit(slice_size)).cast("long")
+    )
+    w_local = (
+        Window.partitionBy(group_col, "_slice")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    t = t.withColumn("_cum_local", F.sum("_tok").over(w_local).cast("long"))
+    totals = t.groupBy(group_col, "_slice").agg(
+        F.sum("_tok").cast("long").alias("_slice_tot")
+    )
+    w_slices = (
+        Window.partitionBy(group_col)
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        totals.withColumn(
+            "_off",
+            F.coalesce(F.sum("_slice_tot").over(w_slices), F.lit(0)).cast("long"),
+        )
+        # budget prune: every row of a slice whose exclusive offset is
+        # already past the budget is doomed — drop the whole slice via the
+        # inner join below instead of materializing its running sums.
+        .filter(F.col("_off") <= budget)
+        .select(group_col, "_slice", "_off")
+    )
     return (
-        df.withColumn("cum_tokens", F.sum(tokens).over(w).cast("long"))
+        t.join(offsets, [group_col, "_slice"])
+        .withColumn(
+            "cum_tokens", (F.col("_off") + F.col("_cum_local")).cast("long")
+        )
         .filter(F.col("cum_tokens") <= budget)
+        # restore the caller's column order (the name-list join moved the
+        # join keys to the front) so both paths have identical schemas
+        .select(*df.columns, "cum_tokens")
     )
 
 

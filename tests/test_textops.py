@@ -123,6 +123,63 @@ class TestTokenAndQuality:
             3: "",
         }
 
+    def test_strip_boilerplate_normalize_pools_case_variants(self, spark):
+        # Case/space variants of the banner each have df 2 (<= cap 2) so
+        # raw mode keeps ALL of them; normalized they pool to one line with
+        # df 4 (> 2) and are stripped. Surviving lines stay RAW either way.
+        docs = [
+            "Cookie Banner\nreal one",
+            "cookie  banner \nreal two",
+            "Cookie Banner\nreal three",
+            "cookie  banner \nreal four",
+        ]
+        df = _docs_df(spark, docs)
+        raw = {
+            r["doc_id"]: r["clean_text"]
+            for r in textops.strip_boilerplate_lines(df, max_line_df=2).collect()
+        }
+        assert raw == {
+            0: "Cookie Banner\nreal one",
+            1: "cookie  banner \nreal two",
+            2: "Cookie Banner\nreal three",
+            3: "cookie  banner \nreal four",
+        }
+        norm = {
+            r["doc_id"]: r["clean_text"]
+            for r in textops.strip_boilerplate_lines(
+                df, max_line_df=2, normalize=True
+            ).collect()
+        }
+        assert norm == {
+            0: "real one",
+            1: "real two",
+            2: "real three",
+            3: "real four",
+        }
+
+    def test_strip_boilerplate_normalize_identity_when_lines_canonical(self, spark):
+        # On already-normalized lines the two modes are the same pass.
+        docs = [
+            "cookie banner\nreal content one\nmore text",
+            "real content two\ncookie banner",
+            "cookie banner\nunique tail",
+            "cookie banner",
+        ]
+        df = _docs_df(spark, docs)
+        for kw in ({}, {"normalize": True}):
+            got = {
+                r["doc_id"]: r["clean_text"]
+                for r in textops.strip_boilerplate_lines(
+                    df, max_line_df=2, **kw
+                ).collect()
+            }
+            assert got == {
+                0: "real content one\nmore text",
+                1: "real content two",
+                2: "unique tail",
+                3: "",
+            }
+
     def test_strip_boilerplate_keeps_duplicate_lines_within_doc(self, spark):
         # df counts DISTINCT docs: a line repeated inside ONE doc is not hot
         df = _docs_df(spark, ["again\nagain\nagain", "other"])
@@ -153,6 +210,70 @@ class TestTokenAndQuality:
             for r in textops.token_budget_sample(df, budget=5).collect()
         )
         assert got5 == [0, 3]
+
+    def test_token_budget_sample_sliced_identity(self, spark):
+        # the pre-sliced path is output-identical to the single-window path
+        # for any slice_size — tiny slices, mid, and one-slice-per-group
+        rows = [
+            (0, "a", "one two three"),
+            (1, "a", "x y z"),
+            (2, "a", "p q r"),
+            (3, "b", "a b c d e"),
+            (7, "b", "one"),
+            (10, "c", "t1 t2"),
+            (11, "c", "t3"),
+            (12, "c", "t4 t5 t6 t7"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        for budget in (5, 7, 100):
+            base = sorted(
+                (r["doc_id"], r["source"], r["cum_tokens"])
+                for r in textops.token_budget_sample(df, budget=budget).collect()
+            )
+            for slice_size in (1, 3, 1000):
+                sliced = sorted(
+                    (r["doc_id"], r["source"], r["cum_tokens"])
+                    for r in textops.token_budget_sample(
+                        df, budget=budget, slice_size=slice_size
+                    ).collect()
+                )
+                assert sliced == base, (budget, slice_size)
+
+    def test_token_budget_sample_sliced_giant_group(self, spark):
+        # ONE giant group (10k single-token docs) + small groups: sliced
+        # path keeps the exact doc_id-prefix, offsets are globally right at
+        # every slice boundary, and non-contiguous doc_ids (stride 3) prove
+        # slicing is by order_col VALUE range, not row position.
+        giant = [(i * 3, "giant", "tok") for i in range(10_000)]
+        small = [(1, "s1", "a b"), (2, "s2", "c")]
+        df = spark.createDataFrame(
+            giant + small, "doc_id long, source string, text string"
+        )
+        out = textops.token_budget_sample(
+            df, budget=2_500, slice_size=100
+        ).collect()
+        by_group = {}
+        for r in out:
+            by_group.setdefault(r["source"], []).append(
+                (r["doc_id"], r["cum_tokens"])
+            )
+        giant_rows = sorted(by_group["giant"])
+        # greedy prefix: first 2500 docs in doc_id order, cum == position
+        assert len(giant_rows) == 2_500
+        assert giant_rows[0] == (0, 1)
+        assert giant_rows[-1] == (2499 * 3, 2_500)
+        assert [c for _, c in giant_rows] == list(range(1, 2_501))
+        assert sorted(by_group["s1"]) == [(1, 2)]
+        assert sorted(by_group["s2"]) == [(2, 1)]
+
+    def test_token_budget_sample_slice_size_validation(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a", "x")], "doc_id long, source string, text string"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="slice_size"):
+            textops.token_budget_sample(df, budget=5, slice_size=0)
 
     def test_top_ngram_stats_plan_is_jvm_only(self, spark):
         df = _docs_df(spark, ["a b a"])
