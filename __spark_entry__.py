@@ -717,6 +717,78 @@ def q_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair recall of the MinHash-LSH SCALE path (textops.minhash_lsh_pairs,
+    the flagship 100-TB dedup candidate generator) vs the EXACT
+    ngram-Jaccard path, one row per threshold regime — rows-only (the
+    minhash kernel is not SQL-expressible), the way `near_dup_recall` pins
+    the embedding-LSH path and `ann_recall` pins kNN.
+
+    The natural sf0.01 corpus has only 25 near-dup pairs, all J >= 0.9 —
+    every regime below that would be vacuous — so the corpus is augmented
+    with DETERMINISTIC planted variants: for doc_id < 120, every k-th token
+    is replaced with a position marker (k = 20/10/6 by doc_id%3), which
+    breaks ~3/k of the 3-shingles and lands true Jaccard near
+    (k-3)/(k+3) ~ 0.74 / 0.54 / 0.33. Markers embed the position only, and
+    k >= 6 means no 3-shingle spans two markers, so no cross-doc similarity
+    is fabricated. Ground truth is the exact path on the SAME corpus.
+
+    Regimes (64 hashes x 16 bands, r=4; collision P = 1-(1-s^4)^16):
+      * 70: true J >= 0.7 vs the PRODUCTION generator (threshold 0.5, as
+        q_minhash_dedup_docs runs it). Banding math gives P >= 0.988 here —
+        the test floors recall at 0.95; measured 1.0.
+      * 50: true J >= 0.5, same generator. The marginal band regime
+        (P ~ 0.65 at s = 0.5, plus est-filter noise at the boundary) —
+        measured ~0.86; floored loosely at 0.75 as a drift alarm.
+      * 30: true J >= 0.3, generator threshold 0.3 — HONEST NEGATIVE: at
+        s ~ 0.33, P ~ 0.15-0.2, so banding retrieves only the upper tail.
+        Low-threshold similarity belongs to the exact shingle path
+        (ngram_jaccard_pairs), not LSH; the row records that honestly."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") < 120)
+    toks = F.split(F.col("text"), r"\s+")
+    k = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(20))
+        .when(F.col("doc_id") % 3 == 1, F.lit(10))
+        .otherwise(F.lit(6))
+    )
+    mut = F.transform(
+        toks,
+        lambda t, i: F.when(
+            i % k == 0, F.concat(F.lit("zzqq"), i.cast("string"))
+        ).otherwise(t),
+    )
+    planted = base.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat_ws(" ", mut).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    exact = textops.ngram_jaccard_pairs(corpus, n=3, threshold=0.25)
+    out = None
+    for thr_e2, gen_thr in ((70, 0.5), (50, 0.5), (30, 0.3)):
+        lsh = textops.minhash_lsh_pairs(
+            corpus, threshold=gen_thr, max_bucket_size=2_000
+        ).select("id_a", "id_b", F.lit(1).alias("_hit"))
+        rec = (
+            exact.filter(F.col("jaccard") >= thr_e2 / 100.0)
+            .join(lsh, ["id_a", "id_b"], "left")
+            .agg(
+                F.count("*").alias("n_exact"),
+                F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_lsh_hit"),
+            )
+            .select(
+                F.lit(thr_e2).alias("threshold_e2"),
+                "n_exact",
+                "n_lsh_hit",
+                F.floor(
+                    F.col("n_lsh_hit") * 10000 / F.greatest(F.col("n_exact"), F.lit(1))
+                ).alias("recall_e4"),
+            )
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
 def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_bucket_size mirrors the simhash row: the production hot-bucket
     # default (2,000 bounds the in-bucket pair array at ~48 MB — see the
@@ -735,6 +807,68 @@ def q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-bucket pair array ≤ ~48 MB — see the operator's memory model.
     d = _read(spark, sf_dir, "documents")
     return textops.simhash_pairs(d, max_hamming=3, max_bucket_size=2_000)
+
+
+def q_simhash_closure_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine check of the SimHash dedup CLOSURE: the Spark-produced
+    simhash pairs (the signature kernel itself is not SQL-expressible —
+    accepted rows-only) are fed into DuckDB's recursive-CTE label-flooding
+    closure, and the survivor/cluster assignment is compared against the
+    Spark `graphops.dedup_clusters` closure over the SAME pairs. This
+    oracle-checks the composed simhash_dedup result the way
+    `dedup_clusters_docs` does for ngram pairs: the closure — the part
+    that decides which documents a 100-TB dedup DROPS — is verified by an
+    independent engine; only the pair source stays rows-only.
+
+    Emits ONE row: pair count, per-engine dropped-doc counts, and two
+    booleans (identical dropped set, identical per-node min-id cluster
+    labels). Isolated docs are their own survivors in both engines by
+    construction, so the comparison over pair-touched nodes is complete.
+    The pair collect is a CHECK-harness step, bounded by the verification
+    corpus (28 pairs at sf0.01) and guarded at 100k rows."""
+    import duckdb as _duck
+    import pandas as _pd
+
+    from bbcrawl_spark.operators import graphops
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = textops.simhash_pairs(d, max_hamming=3, max_bucket_size=2_000)
+    pairs_pd = pairs.select("id_a", "id_b").toPandas()
+    if len(pairs_pd) > 100_000:
+        raise ValueError("closure check is a small-scale harness; got "
+                         f"{len(pairs_pd)} pairs")
+    spark_clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in graphops.dedup_clusters(d, pairs).filter("NOT keep")
+        .select("doc_id", "cluster_id").collect()
+    }
+    con = _duck.connect()
+    con.register("sp", pairs_pd if len(pairs_pd) else _pd.DataFrame(
+        {"id_a": _pd.Series(dtype="int64"), "id_b": _pd.Series(dtype="int64")}))
+    oracle = con.execute("""
+        WITH RECURSIVE
+        edges AS (SELECT id_a AS u, id_b AS v FROM sp
+                  UNION SELECT id_b, id_a FROM sp),
+        nodes AS (SELECT DISTINCT u AS id FROM edges),
+        reach(id, lbl) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.id)
+        SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    """).fetchall()
+    con.close()
+    duck_clusters = {int(i): int(c) for i, c in oracle if i != c}
+    return spark.createDataFrame(
+        [(
+            len(pairs_pd),
+            len(spark_clusters),
+            len(duck_clusters),
+            int(set(spark_clusters) == set(duck_clusters)),
+            int(spark_clusters == duck_clusters),
+        )],
+        "n_pairs long, n_dropped_spark long, n_dropped_oracle long, "
+        "dropped_set_match int, cluster_labels_match int",
+    )
 
 
 def q_ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,6 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
         "near_dup_recall": q_near_dup_recall,
+        "minhash_lsh_recall": q_minhash_lsh_recall,
+        "simhash_closure_check": q_simhash_closure_check,
         "ann_lsh_knn": q_ann_lsh_knn,
         "ann_ivf_knn": q_ann_ivf_knn,
         "ann_recall": q_ann_recall,

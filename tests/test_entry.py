@@ -59,8 +59,8 @@ def test_all_queries_have_entry_or_rows_only():
     # only genuinely non-SQL-expressible ops may skip the oracle
     assert rows_only <= {
         "minhash_dedup_docs", "simhash_pairs_docs", "ann_lsh_knn", "ann_ivf_knn",
-        "ann_recall", "near_dup_recall", "multimodal_features",
-        "multimodal_audio", "bloom_incremental", "crawl_roundtrip",
+        "ann_recall", "near_dup_recall", "minhash_lsh_recall", "simhash_closure_check",
+        "multimodal_features", "multimodal_audio", "bloom_incremental", "crawl_roundtrip",
     }
 
 
@@ -72,8 +72,8 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize(
     "name", ["minhash_dedup_docs", "simhash_pairs_docs", "ann_lsh_knn", "ann_ivf_knn",
-             "ann_recall", "near_dup_recall", "multimodal_features",
-             "multimodal_audio", "bloom_incremental"]
+             "ann_recall", "near_dup_recall", "minhash_lsh_recall", "simhash_closure_check",
+             "multimodal_features", "multimodal_audio", "bloom_incremental"]
 )
 def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF_DIR)

@@ -524,6 +524,20 @@ class TestSimHash:
             h.unpersist()
         assert kept == [0, 3]
 
+    def test_simhash_closure_matches_duckdb_oracle(self, spark):
+        # The composed simhash_dedup closure, cross-checked by engine:
+        # Spark connected-components vs DuckDB's recursive-CTE label
+        # flooding over the SAME Spark-produced pairs (driver row:
+        # simhash_closure_check). Non-vacuous: the sf0.01 corpus yields
+        # ~28 simhash pairs including chained clusters.
+        import __spark_entry__ as entry
+
+        row = entry.q_simhash_closure_check(spark, "/root/testdata/sf0.01").first()
+        assert row["n_pairs"] > 10
+        assert row["n_dropped_spark"] > 0
+        assert row["dropped_set_match"] == 1, row
+        assert row["cluster_labels_match"] == 1, row
+
     def test_simhash_distinct_for_different_text(self, spark):
         df = _docs_df(spark, [NEAR_DUP_TEXTS[0], NEAR_DUP_TEXTS[2]])
         a, b = [r[0] for r in df.select(textops.simhash_udf("text")).collect()]
@@ -625,6 +639,30 @@ class TestSimilarity:
         # the honest negative: low-threshold similarity is not LSH territory
         assert rec[35]["n_exact"] > 50
         assert rec[35]["recall_e4"] < 5000
+
+    def test_minhash_lsh_recall_floor(self, spark):
+        # The flagship 100-TB dedup candidate generator (minhash_lsh_pairs,
+        # 64 hashes x 16 bands) vs the exact ngram-Jaccard path, on the
+        # planted-variant corpus (driver row: minhash_lsh_recall).
+        # Banding math: collision P = 1-(1-s^4)^16 -> >= 0.988 at s >= 0.7.
+        import __spark_entry__ as entry
+
+        rec = {
+            r["threshold_e2"]: r
+            for r in entry.q_minhash_lsh_recall(
+                spark, "/root/testdata/sf0.01"
+            ).collect()
+        }
+        # strong regime: the banding-math floor the production dedup relies on
+        assert rec[70]["n_exact"] > 50  # planted k=20 pairs + natural dups
+        assert rec[70]["recall_e4"] >= 9500, rec[70]
+        # marginal band regime (P ~ 0.65 at s=0.5): drift alarm, not a goal
+        assert rec[50]["n_exact"] > 100
+        assert rec[50]["recall_e4"] >= 7500, rec[50]
+        # honest negative: banding retrieves only the tail at s ~ 0.33 —
+        # low-threshold similarity belongs to the exact shingle path
+        assert rec[30]["n_exact"] > 140
+        assert rec[30]["recall_e4"] < 8000, rec[30]
 
 
 class TestMultimodal:
