@@ -17,6 +17,8 @@ Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
   exact_dedup_docs       hash-window dedup over documents
   minhash_dedup          MinHash+LSH near-dup dedup over documents
                          (round-3: transitively correct via cluster resolution)
+  minhash_dedup_capped   same, at the production hot-bucket cap (2,000):
+                         prices the always-paid WindowExec pre-filter
   dedup_clusters         pair list -> connected-components keep/drop manifest
   dedup_clusters_reuse   pairs persisted ONCE, consumed by both the pair list
                          and the manifest (the production chain shape)
@@ -201,6 +203,17 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
     timed("exact_dedup_docs", lambda: textops.exact_dedup(docs).count())
     timed("minhash_dedup", lambda: textops.minhash_dedup(docs, threshold=0.5).count())
+    # the PRODUCTION setting (hot-bucket cap 2,000, as the driver rows run
+    # it): the cap's WindowExec pre-filter is an always-paid cost whose
+    # (band,bucket) exchange Catalyst shares with the groupBy — this row
+    # prices it against the uncapped row above (identical output on this
+    # corpus; no bucket comes near the cap)
+    timed(
+        "minhash_dedup_capped",
+        lambda: textops.minhash_dedup(
+            docs, threshold=0.5, max_bucket_size=2_000
+        ).count(),
+    )
     # signature stage alone (the numpy whole-batch hash kernel; at web scale
     # this map-side stage is the bulk of minhash cost — the banded join
     # dominates only on small corpora like this one)
