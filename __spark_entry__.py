@@ -630,6 +630,56 @@ def q_corpus_clean_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking pass (textops.redact_pii) with deterministic planted
+    PII so every category is non-vacuous: doc_id%3==0 gets an email,
+    %3==1 an IPv4, %5==0 a phone number (so %15==0 docs carry two kinds,
+    exercising the sequential contract). The oracle replays the IDENTICAL
+    patterns (Java-regex ∩ RE2 dialect) in the same order."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    deco = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 3 == 1,
+                F.concat(F.lit(" host 10.0."), (did % 256).cast("string"),
+                         F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" tel +1 555 01"), (did % 100).cast("string"),
+                         F.lit(" 99")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textops.redact_pii(deco).select(
+        "doc_id", "pii_email_n", "pii_ip_n", "pii_phone_n", "redacted_text"
+    )
+
+
+def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen (textops.contamination_check):
+    every 50th document plays the benchmark suite; docs sharing any
+    5-gram shingle with it are flagged. Non-vacuous: the benchmark docs
+    themselves are in the corpus (full overlap) and the corpus's natural
+    near-dups drag in more. Benchmark side broadcast (the production
+    shape — the 100-TB corpus side ships zero bytes)."""
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
+    out = textops.contamination_check(d.select("doc_id", "text"), bench, n=5)
+    return out.select(
+        "doc_id", "n_overlap",
+        F.col("contaminated").cast("int").alias("contaminated_int"),
+    )
+
+
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1065,6 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "strip_boilerplate": q_strip_boilerplate,
         "strip_boilerplate_norm": q_strip_boilerplate_norm,
+        "pii_redaction": q_pii_redaction,
+        "contamination_screen": q_contamination_screen,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -1094,6 +1146,42 @@ def oracle_sql() -> dict[str, str]:
         for lang in sorted(textops._STOPWORDS)
     }
     best = "greatest(" + ", ".join(f"r_{lang}" for lang in sorted(textops._STOPWORDS)) + ")"
+
+    # PII oracle: replay textops.PII_PATTERNS — the SAME pattern strings the
+    # Spark pass compiles (they're written in the Java-regex ∩ RE2 dialect
+    # for exactly this) — sequentially, counting before each replace. Built
+    # by .replace, not f-string, because the patterns contain regex braces.
+    _pii_pats = {name: pat for name, pat, _ in textops.PII_PATTERNS}
+    pii_sql = """
+            WITH deco AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 3 = 1
+                     THEN ' host 10.0.' || CAST(doc_id % 256 AS STRING) || '.7'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 5 = 0
+                     THEN ' tel +1 555 01' || CAST(doc_id % 100 AS STRING) || ' 99'
+                     ELSE '' END AS text
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '@EMAILPAT@')) AS pii_email_n,
+                     regexp_replace(text, '@EMAILPAT@', '<EMAIL>', 'g') AS t1
+              FROM deco),
+            s2 AS (
+              SELECT doc_id, pii_email_n,
+                     len(regexp_extract_all(t1, '@IPPAT@')) AS pii_ip_n,
+                     regexp_replace(t1, '@IPPAT@', '<IP>', 'g') AS t2
+              FROM s1)
+            SELECT doc_id, pii_email_n, pii_ip_n,
+                   len(regexp_extract_all(t2, '@PHONEPAT@')) AS pii_phone_n,
+                   regexp_replace(t2, '@PHONEPAT@', '<PHONE>', 'g') AS redacted_text
+            FROM s2
+    """.replace("@EMAILPAT@", _pii_pats["email"]).replace(
+        "@IPPAT@", _pii_pats["ip"]
+    ).replace("@PHONEPAT@", _pii_pats["phone"])
 
     return {
         "frontier_cutter": """
@@ -1476,6 +1564,31 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY doc_id)
             SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text
             FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+        """,
+        "pii_redaction": pii_sql,
+        # 5-gram shingles (same short-doc whole-text fallback as the Spark
+        # shingles(); every 50th doc is the benchmark suite); join on the
+        # shingle STRING — Spark joins on its xxhash64, so the identity is
+        # checked across representations, not circularly
+        "contamination_screen": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(t) >= 5
+                     THEN list_transform(generate_series(1, len(t) - 4),
+                                         i -> array_to_string(t[i:i+4], ' '))
+                     ELSE [array_to_string(t, ' ')] END)) AS shingle
+              FROM toks),
+            bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+            ov AS (
+              SELECT s.doc_id, COUNT(*) AS n_overlap
+              FROM sh s JOIN bsh USING (shingle) GROUP BY s.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   CAST(COALESCE(ov.n_overlap, 0) >= 1 AS INT) AS contaminated_int
+            FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
         """,
         "strip_boilerplate_norm": """
             WITH deco AS (

@@ -418,6 +418,92 @@ def token_budget_sample(
     )
 
 
+#: PII redaction patterns, applied IN ORDER (email first so its digits are
+#: gone before the phone heuristic runs; IP before phone so dotted quads
+#: are typed <IP>, not swallowed by the looser phone class). Deliberately
+#: restricted to the Java-regex ∩ RE2 dialect (no backreferences, no
+#: lookaround) so the DuckDB oracle can run the IDENTICAL patterns.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII masking (the C4/Dolma-style curation pass): emails, IPv4
+    addresses, and phone-shaped digit runs replaced by typed placeholder
+    tokens, with a per-category match count per document.
+
+    Adds ``pii_email_n`` / ``pii_ip_n`` / ``pii_phone_n`` (long; counted on
+    the text as it looks WHEN that pattern runs — the sequential contract
+    the oracle mirrors) and ``redacted_text``. Pure JVM ``regexp_count`` /
+    ``regexp_replace`` column expressions — zero shuffle, zero Python, so
+    the pass rides along any scan at 100 TB. The phone pattern is the
+    standard loose heuristic (any 9+ char digit/punct run): deterministic
+    and cross-engine identical, but a heuristic — counts are a screen, not
+    an extraction."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"pii_{name}_n")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select("*", *counts, cur.alias("redacted_text"))
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    min_overlap: int = 1,
+    hash_shingles: bool = True,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination screen (the eval-decontamination pass every
+    training-data pipeline runs): flag documents sharing at least
+    ``min_overlap`` word ``n``-gram shingles with a benchmark corpus.
+
+    Adds ``n_overlap`` (distinct shared shingles, 0 for clean docs) and
+    ``contaminated``. Shape: both sides explode to distinct-per-doc
+    shingles; ``hash_shingles`` turns them into 8-byte xxhash64 keys before
+    the join (same trade as ``ngram_jaccard_pairs`` — a false overlap needs
+    a cross-text 64-bit collision). ``broadcast_benchmark`` is ON by
+    default because benchmark suites are bounded (millions of shingles,
+    tens of MB) while the corpus side is the 100-TB scan — the join then
+    ships ZERO corpus bytes; disable it to let AQE choose when screening
+    against something benchmark-shaped but large."""
+    doc_sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, n)).alias("sh"),
+    )
+    bench_sh = benchmark.select(
+        F.explode(shingles(F.col(bench_text_col), n)).alias("sh")
+    ).distinct()
+    if hash_shingles:
+        doc_sh = doc_sh.select("id", F.xxhash64("sh").alias("sh"))
+        bench_sh = bench_sh.select(F.xxhash64("sh").alias("sh"))
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    overlap = (
+        doc_sh.join(bench_sh, "sh")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap"))  # shingles are distinct per doc
+    )
+    return (
+        df.join(overlap, F.col(id_col) == F.col("id"), "left")
+        .drop("id")
+        .withColumn(
+            "n_overlap", F.coalesce("n_overlap", F.lit(0)).cast("long")
+        )
+        .withColumn("contaminated", F.col("n_overlap") >= min_overlap)
+    )
+
+
 def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID over the ``_STOPWORDS`` profiles
     (en, de, fr, es, it, pt, nl), 'und' when no profile hits.

@@ -451,6 +451,120 @@ class TestMinHash:
         assert len(bb_exchanges) == 1, plan
 
 
+class TestPII:
+    def test_redact_counts_and_text(self, spark):
+        rows = [
+            (0, "mail bob@example.com or call +1 555 123 4567"),
+            (1, "server 192.168.0.1 up"),
+            (2, "nothing here"),
+            (3, "a@b.co c@d.org 10.0.0.255 020-7946-0958"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["pii_email_n"], r["pii_ip_n"], r["pii_phone_n"],
+                r["redacted_text"],
+            )
+            for r in textops.redact_pii(df).collect()
+        }
+        assert got[0] == (1, 0, 1, "mail <EMAIL> or call <PHONE>")
+        assert got[1] == (0, 1, 0, "server <IP> up")
+        assert got[2] == (0, 0, 0, "nothing here")
+        assert got[3] == (2, 1, 1, "<EMAIL> <EMAIL> <IP> <PHONE>")
+
+    def test_redact_order_ip_not_swallowed_by_phone(self, spark):
+        # the dotted quad must become <IP>, not get eaten by the looser
+        # phone heuristic that would otherwise match "192.168.0.1"
+        df = spark.createDataFrame([(0, "ping 192.168.0.1 now")], "doc_id long, text string")
+        r = textops.redact_pii(df).first()
+        assert r["redacted_text"] == "ping <IP> now"
+        assert (r["pii_ip_n"], r["pii_phone_n"]) == (1, 0)
+
+    def test_redact_email_digits_hidden_from_phone(self, spark):
+        # sequential contract: the email is replaced FIRST, so its digits
+        # can never seed a phone match
+        df = spark.createDataFrame(
+            [(0, "mail 12345678901@example.com ok")], "doc_id long, text string"
+        )
+        r = textops.redact_pii(df).first()
+        assert r["redacted_text"] == "mail <EMAIL> ok"
+        assert (r["pii_email_n"], r["pii_phone_n"]) == (1, 0)
+
+    def test_redact_plan_is_jvm_only(self, spark):
+        # pure regexp column expressions: no shuffle, no Python eval
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        plan = (
+            textops.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+
+class TestContamination:
+    def _dfs(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over the lazy dog today"),
+                (1, "totally unrelated words about spark shuffle partitions"),
+                (2, "the quick brown fox jumps high"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog")],
+            "bid long, text string",
+        )
+        return docs, bench
+
+    def test_overlap_counts(self, spark):
+        docs, bench = self._dfs(spark)
+        got = {
+            r["doc_id"]: (r["n_overlap"], r["contaminated"])
+            for r in textops.contamination_check(docs, bench, n=5).collect()
+        }
+        # doc 0 shares all 5 benchmark 5-grams; doc 2 shares exactly the
+        # one 5-gram "the quick brown fox jumps"; doc 1 is clean
+        assert got[0] == (5, True)
+        assert got[1] == (0, False)
+        assert got[2] == (1, True)
+
+    def test_min_overlap_threshold(self, spark):
+        docs, bench = self._dfs(spark)
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in textops.contamination_check(
+                docs, bench, n=5, min_overlap=2
+            ).collect()
+        }
+        assert got == {0: True, 1: False, 2: False}
+
+    def test_hashed_equals_string_join(self, spark):
+        docs, bench = self._dfs(spark)
+        a = sorted(
+            (r["doc_id"], r["n_overlap"])
+            for r in textops.contamination_check(
+                docs, bench, n=5, hash_shingles=True
+            ).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["n_overlap"])
+            for r in textops.contamination_check(
+                docs, bench, n=5, hash_shingles=False
+            ).collect()
+        )
+        assert a == b
+
+    def test_benchmark_side_broadcast(self, spark):
+        # the production shape: benchmark shingles broadcast, the 100-TB
+        # corpus side ships zero shuffle bytes for the join
+        docs, bench = self._dfs(spark)
+        plan = (
+            textops.contamination_check(docs, bench, n=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+
+
 class TestSimHash:
     def test_exact_dup_zero_hamming(self, spark):
         df = _docs_df(spark, NEAR_DUP_TEXTS)
