@@ -478,25 +478,25 @@ def contamination_check(
     ships ZERO corpus bytes; disable it to let AQE choose when screening
     against something benchmark-shaped but large."""
     doc_sh = df.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("__cid"),  # sentinel: never collides with df cols
         F.explode(shingles(text_col, n)).alias("sh"),
     )
     bench_sh = benchmark.select(
         F.explode(shingles(F.col(bench_text_col), n)).alias("sh")
     ).distinct()
     if hash_shingles:
-        doc_sh = doc_sh.select("id", F.xxhash64("sh").alias("sh"))
+        doc_sh = doc_sh.select("__cid", F.xxhash64("sh").alias("sh"))
         bench_sh = bench_sh.select(F.xxhash64("sh").alias("sh"))
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
     overlap = (
         doc_sh.join(bench_sh, "sh")
-        .groupBy("id")
+        .groupBy("__cid")
         .agg(F.count("*").alias("n_overlap"))  # shingles are distinct per doc
     )
     return (
-        df.join(overlap, F.col(id_col) == F.col("id"), "left")
-        .drop("id")
+        df.join(overlap, F.col(id_col) == F.col("__cid"), "left")
+        .drop("__cid")
         .withColumn(
             "n_overlap", F.coalesce("n_overlap", F.lit(0)).cast("long")
         )
