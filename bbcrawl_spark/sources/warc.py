@@ -34,6 +34,7 @@ __all__ = [
     "parse_warc_stream",
     "build_warc",
     "http_response_parts",
+    "open_warc_stream",
     "read_warc_pages",
 ]
 
@@ -174,7 +175,68 @@ def _warc_date_to_ts(date: str) -> datetime.datetime | None:
         return None
 
 
-def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+def open_warc_stream(path: str):
+    """Default opener for :func:`read_warc_pages` streaming mode: open a
+    local ``.warc`` / ``.warc.gz`` file (plain path or the ``file:`` URI
+    Spark's FileIndex emits) as a record-streamable binary file object.
+    Gzip is detected by magic bytes and wrapped in a streaming
+    ``GzipFile`` — at no point does the whole compressed segment (let
+    alone its ~4-5× decompressed form) sit in memory; peak is
+    O(buffer + one record).
+
+    On a real cluster with object-store segments, pass
+    ``opener=lambda p: fsspec.open(p, "rb").open()`` (or a
+    Hadoop-FS-backed equivalent) to ``read_warc_pages`` — the seam is the
+    whole integration surface, like ``htmlkit.set_parser`` /
+    ``multimodal.set_decoder``.
+    """
+    p = path
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        p = unquote(urlparse(p).path)
+    buf = io.BufferedReader(open(p, "rb"), buffer_size=1 << 20)
+    if buf.peek(2)[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=buf)
+    return buf
+
+
+_PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, "
+    "lang string, content_type string, n_redirects int, "
+    "content_disposition string, _status int"
+)
+_PAGES_COLS = [
+    "url", "warc_ts", "html", "text", "lang", "content_type",
+    "n_redirects", "content_disposition", "_status",
+]
+
+
+def _record_rows(records: Iterator[dict]) -> Iterator[dict]:
+    """WARC records -> pages-table row dicts (``response`` records only)."""
+    for rec in records:
+        if rec["type"] != "response" or not rec["uri"]:
+            continue
+        status, http_hdrs, body = http_response_parts(rec["block"])
+        yield {
+            "url": rec["uri"],
+            "warc_ts": _warc_date_to_ts(rec["date"]),
+            "html": body,
+            "text": "",
+            "lang": "",
+            "content_type": http_hdrs.get("content-type", ""),
+            "n_redirects": 0,
+            "content_disposition": http_hdrs.get("content-disposition"),
+            "_status": status,
+        }
+
+
+def read_warc_pages(
+    spark: SparkSession,
+    path: str,
+    from_paths: bool = True,
+    opener=None,
+) -> DataFrame:
     """Read ``.warc`` / ``.warc.gz`` files under ``path`` into the pages
     table shape the crawl loop consumes:
 
@@ -186,51 +248,59 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
     evidence the P6 gate consumes); the final row carries the last 200
     body. ``text``/``lang`` are empty — the engine derives text itself
     (byte-identical contract).
+
+    ``from_paths=True`` (default) is the 100-TB shape: the ``binaryFile``
+    scan is pruned to the ``path`` column only (no file CONTENT crosses
+    the scan — plan-pinned), and each worker opens its files itself via
+    ``opener`` (default :func:`open_warc_stream`), so peak memory per
+    task is O(read buffer + one record) instead of one whole ~1 GB
+    compressed segment. ``from_paths=False`` keeps the whole-file
+    ``binaryFile`` content read for filesystems where workers cannot open
+    paths directly and no opener is available.
     """
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     files = spark.read.format("binaryFile").load(path)
-
-    schema = (
-        "url string, warc_ts timestamp, html binary, text string, "
-        "lang string, content_type string, n_redirects int, "
-        "content_disposition string, _status int"
-    )
+    schema = _PAGES_SCHEMA
 
     def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for blob in pdf["content"]:
-                for rec in parse_warc(bytes(blob)):
-                    if rec["type"] != "response" or not rec["uri"]:
-                        continue
-                    status, http_hdrs, body = http_response_parts(rec["block"])
-                    rows.append(
-                        {
-                            "url": rec["uri"],
-                            "warc_ts": _warc_date_to_ts(rec["date"]),
-                            "html": body,
-                            "text": "",
-                            "lang": "",
-                            "content_type": http_hdrs.get("content-type", ""),
-                            "n_redirects": 0,
-                            "content_disposition": http_hdrs.get(
-                                "content-disposition"
-                            ),
-                            "_status": status,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "warc_ts", "html", "text", "lang", "content_type",
-                    "n_redirects", "content_disposition", "_status",
-                ],
-            )
+                rows.extend(_record_rows(parse_warc(bytes(blob))))
+            yield pd.DataFrame(rows, columns=_PAGES_COLS)
 
-    recs = files.select("content").mapInPandas(_explode, schema)
+    _open = opener or open_warc_stream
+
+    # Emit bounded Arrow batches, never a whole segment's records at once:
+    # flush on row count OR accumulated body bytes, whichever trips first
+    # (CC segments mix many small pages with the odd 100 MB binary).
+    max_rows, max_bytes = 512, 64 << 20
+
+    def _explode_paths(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p in pdf["path"]:
+                f = _open(p)
+                try:
+                    rows: list[dict] = []
+                    pending = 0
+                    for row in _record_rows(parse_warc_stream(f)):
+                        rows.append(row)
+                        pending += len(row["html"])
+                        if len(rows) >= max_rows or pending >= max_bytes:
+                            yield pd.DataFrame(rows, columns=_PAGES_COLS)
+                            rows, pending = [], 0
+                    if rows:
+                        yield pd.DataFrame(rows, columns=_PAGES_COLS)
+                finally:
+                    f.close()
+
+    if from_paths:
+        recs = files.select("path").mapInPandas(_explode_paths, schema)
+    else:
+        recs = files.select("content").mapInPandas(_explode, schema)
     # redirect-hop evidence: count this url's 3xx records; keep the last
     # 200 row per url (WARC order within a crawl = fetch order; ties broken
     # by warc_ts then content hash for determinism)

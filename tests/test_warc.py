@@ -163,3 +163,129 @@ class TestReadWarcPages:
         assert got == want.crawl_order
         texts = {r["url"]: r["text"] for r in drv.fetched_texts().collect()}
         assert texts == want.texts
+
+
+class TestStreamingFromPaths:
+    """from_paths=True (the 100-TB default): workers stream each segment
+    from its path — no file content crosses the binaryFile scan, peak
+    memory is O(read buffer + one Arrow batch)."""
+
+    def _write_mixed_dir(self, tmp_path, n_plain=3, n_gz=4):
+        plain = [
+            (f"http://p.ex/{i}", DATE, f"<html>p{i}</html>".encode(),
+             {"Content-Type": "text/html"})
+            for i in range(n_plain)
+        ]
+        gz = [
+            (f"http://g.ex/{i}", DATE, f"<html>g{i}</html>".encode(),
+             {"Content-Type": "text/html"})
+            for i in range(n_gz)
+        ]
+        (tmp_path / "a.warc").write_bytes(warc.build_warc(plain))
+        (tmp_path / "b.warc.gz").write_bytes(warc.build_warc(gz, gzipped=True))
+        return {u for u, *_ in plain} | {u for u, *_ in gz}
+
+    def test_paths_mode_equals_content_mode(self, spark, tmp_path):
+        urls = self._write_mixed_dir(tmp_path)
+        by_path = warc.read_warc_pages(spark, str(tmp_path), from_paths=True)
+        by_blob = warc.read_warc_pages(spark, str(tmp_path), from_paths=False)
+        key = lambda r: (r["url"], bytes(r["html"]), r["content_type"], r["n_redirects"])
+        assert sorted(map(key, by_path.collect())) == sorted(map(key, by_blob.collect()))
+        assert {r["url"] for r in by_path.collect()} == urls
+
+    def test_content_column_pruned_from_scan(self, spark, tmp_path):
+        # Scale pin: the binaryFile scan under from_paths=True must read
+        # ONLY the path column — if `content` appears in the ReadSchema the
+        # whole ~1 GB segment ships through the scan and the mode is
+        # pointless.
+        self._write_mixed_dir(tmp_path)
+        df = warc.read_warc_pages(spark, str(tmp_path), from_paths=True)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+        scans = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+        assert scans, plan
+        assert all("content" not in s for s in scans), scans
+        old = warc.read_warc_pages(spark, str(tmp_path), from_paths=False)
+        old_plan = old._jdf.queryExecution().executedPlan().toString()
+        assert any("content" in s for s in re.findall(r"ReadSchema: (struct<[^>]*>)", old_plan))
+
+    def test_many_records_cross_batch_boundary(self, spark, tmp_path):
+        # >512 records in one file exercises the bounded-batch flush path;
+        # every record must still come out exactly once.
+        n = 700
+        recs = [
+            (f"http://m.ex/{i}", DATE, f"<html>{i}</html>".encode(), None)
+            for i in range(n)
+        ]
+        (tmp_path / "big.warc.gz").write_bytes(warc.build_warc(recs, gzipped=True))
+        df = warc.read_warc_pages(spark, str(tmp_path), from_paths=True)
+        got = {r["url"] for r in df.collect()}
+        assert got == {f"http://m.ex/{i}" for i in range(n)}
+        assert df.count() == n
+
+    def test_opener_seam(self, spark, tmp_path):
+        # A custom opener (the fsspec/Hadoop integration surface) is used
+        # for every listed file.
+        self._write_mixed_dir(tmp_path)
+        import json
+        seen_log = tmp_path / "seen.jsonl"
+
+        def logging_opener(p):
+            with open(seen_log, "a") as fh:
+                fh.write(json.dumps(p) + "\n")
+            return warc.open_warc_stream(p)
+
+        df = warc.read_warc_pages(
+            spark, str(tmp_path), from_paths=True, opener=logging_opener
+        )
+        assert df.count() == 7
+        opened = {json.loads(l) for l in seen_log.read_text().splitlines()}
+        assert {p.rsplit("/", 1)[-1] for p in opened} == {"a.warc", "b.warc.gz"}
+
+    def test_open_warc_stream_file_uri_and_gzip_magic(self, tmp_path):
+        recs = [("http://u.ex/1", DATE, b"<html>u</html>", None)]
+        f1 = tmp_path / "x.warc"
+        f1.write_bytes(warc.build_warc(recs))
+        f2 = tmp_path / "y.warc.gz"
+        f2.write_bytes(warc.build_warc(recs, gzipped=True))
+        for p in (str(f1), f"file://{f1}", str(f2), f"file://{f2}"):
+            fobj = warc.open_warc_stream(p)
+            try:
+                got = list(warc.parse_warc_stream(fobj))
+            finally:
+                fobj.close()
+            assert [r["uri"] for r in got] == ["http://u.ex/1"]
+
+    def test_crawl_over_streamed_warc_matches_oracle(self, spark, tmp_path):
+        # e2e: the streamed-ingest pages table drives a crawl byte-identical
+        # to the sequential oracle (same contract the content-mode e2e pins).
+        from bbcrawl_spark import oracle
+        from bbcrawl_spark.operators.robots import parse_robots_txt
+        from bbcrawl_spark.plans.round import CrawlConfig, CrawlDriver
+
+        site = make_board_site(hosts=1, boards=2, threads=2, pages_per_thread=2)
+        recs = [
+            (url, DATE, body,
+             {"Content-Type": site.content_types.get(url, "text/html; charset=utf-8")})
+            for url, body in sorted(site.pages.items())
+        ]
+        (tmp_path / "site.warc.gz").write_bytes(warc.build_warc(recs, gzipped=True))
+        pages_df = warc.read_warc_pages(spark, str(tmp_path), from_paths=True)
+        pages_path = str(tmp_path / "pages_pq")
+        pages_df.write.parquet(pages_path)
+
+        robots = {h: parse_robots_txt(t) for h, t in site.robots.items()}
+        want = oracle.crawl_oracle(
+            pages=site.pages, seeds=site.seeds, budget=2,
+            robots=robots, excludes=set(site.excludes), max_rounds=20,
+        )
+        drv = CrawlDriver(spark, CrawlConfig(
+            pages_path=pages_path, warehouse_root=str(tmp_path / "wh"),
+            seeds=site.seeds, budget=2, max_rounds=20,
+            excludes=tuple(site.excludes), robots=site.robots,
+        ))
+        drv.run()
+        got = [(r["round"], r["url"]) for r in drv.crawl_order().orderBy("rank").collect()]
+        assert got == want.crawl_order
+        texts = {r["url"]: r["text"] for r in drv.fetched_texts().collect()}
+        assert texts == want.texts
