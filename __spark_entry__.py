@@ -1080,6 +1080,104 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_fetch_slot_assignment(spark, sf_dir)
 
 
+def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document keep-first paragraph dedup (textops.paragraph_dedup,
+    the RefinedWeb exact-segment pass). The synthetic docs are single-line,
+    so the query decorates them the way strip_boilerplate does: a banner
+    line shared by EVERY doc survives only in the min-doc_id document, a
+    'promo k' line per doc_id%7 class survives only in that class's first
+    document, and each unique body line survives everywhere. The oracle
+    replays keep-first in SQL partitioned by the segment STRING — Spark
+    keys the 8-byte xxhash64, so the identity is checked across
+    representations, not circularly."""
+    d = _read(spark, sf_dir, "documents")
+    deco = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("cookie banner accept all\n"),
+            F.lit("promo "), (F.col("doc_id") % 7).cast("string"), F.lit("\n"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return textops.paragraph_dedup(deco)
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus update (textops.dedup_against, exact screen):
+    ref = the standing documents corpus; the new batch resubmits every doc
+    under a shifted id, where doc_id%5==0 carries the SAME text (screened
+    out against the ref side) and the rest append a delta marker (kept).
+    The ref corpus is never rewritten — maintenance cost ∝ |delta|, the
+    same contract as the incremental Bloom seen-set. Oracle: NOT EXISTS
+    anti-join on the normalized text itself (Spark anti-joins the 8-byte
+    hash — cross-representation)."""
+    d = _read(spark, sf_dir, "documents")
+    new = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .otherwise(
+            F.concat(F.col("text"), F.lit(" :: delta "), F.col("doc_id").cast("string"))
+        )
+        .alias("text"),
+        "source",
+    )
+    return textops.dedup_against(new, d).select("doc_id", "source")
+
+
+def q_incremental_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_against with the MinHash near screen (rows-only: signature
+    kernels are numpy, not SQL): every 4th doc resubmits a near-identical
+    variant (text + a 3-token tail — Jaccard ≥ ~0.9 for any doc past a few
+    dozen tokens, well inside the banding-recall regime pinned by
+    minhash_lsh_recall), the rest resubmit genuinely fresh text. Expected:
+    the variants drop via the near screen (they are NOT exact dups), the
+    fresh docs survive. test_incremental_dedup_near pins the exact
+    survivor set at sf0.001."""
+    d = _read(spark, sf_dir, "documents")
+    new = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" tail marker zz")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("fresh document "), F.col("doc_id").cast("string"),
+                F.lit(" entirely unrelated replacement content"),
+            )
+        )
+        .alias("text"),
+        "source",
+    )
+    return (
+        textops.dedup_against(new, d, near=True, threshold=0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reputation rollup (textops.source_stats): volume,
+    duplication rate, mean tokens, quality-gate pass rate — the signals a
+    RefinedWeb-style domain filter ranks on. Decorated so duplication is
+    non-vacuous: every 4th doc's text becomes a per-source filler block,
+    creating within-source exact dup groups. All stats are integer-exact
+    (`div` scaling) so both engines agree bit-for-bit; the oracle counts
+    distinct NORMALIZED TEXT where Spark counts distinct xxhash64."""
+    d = _read(spark, sf_dir, "documents")
+    deco = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("duplicate filler block for source "), F.col("source")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    return textops.source_stats(deco)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_cutter": q_frontier_cutter,
@@ -1117,6 +1215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate_norm": q_strip_boilerplate_norm,
         "pii_redaction": q_pii_redaction,
         "contamination_screen": q_contamination_screen,
+        "paragraph_dedup_docs": q_paragraph_dedup_docs,
+        "incremental_dedup": q_incremental_dedup,
+        "source_reputation": q_source_reputation,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -1125,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_recall": q_near_dup_recall,
         "minhash_lsh_recall": q_minhash_lsh_recall,
         "simhash_closure_check": q_simhash_closure_check,
+        "incremental_dedup_near": q_incremental_dedup_near,
         "ann_lsh_knn": q_ann_lsh_knn,
         "ann_ivf_knn": q_ann_ivf_knn,
         "ann_recall": q_ann_recall,
@@ -1564,6 +1666,82 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY doc_id)
             SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text
             FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+        """,
+        # keep-first per segment STRING (Spark keys the xxhash64 of the
+        # segment — cross-representation); min_chars=1 ⇒ empty segments are
+        # never dedup candidates
+        "paragraph_dedup_docs": """
+            WITH deco AS (
+              SELECT doc_id,
+                     'cookie banner accept all' || chr(10) ||
+                     'promo ' || CAST(doc_id % 7 AS STRING) || chr(10) ||
+                     text AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+                       i -> struct_pack(pos := i, seg := ls[i]))) AS u
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM deco))),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+              FROM l),
+            kept AS (SELECT * FROM r WHERE length(seg) < 1 OR rn = 1),
+            reb AS (
+              SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(reb.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+        """,
+        # NOT EXISTS on the normalized text itself (Spark anti-joins the
+        # 8-byte xxhash64 — cross-representation); the +1000000 id shift is
+        # divisible by 5, so alias-vs-column binding of doc_id % 5 cannot
+        # diverge between engines
+        "incremental_dedup": f"""
+            WITH newb AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text
+                          ELSE text || ' :: delta ' || CAST(doc_id AS STRING) END AS text,
+                     source
+              FROM documents)
+            SELECT n.doc_id, n.source FROM newb n
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents r
+              WHERE {_NORM_SQL.replace("(text)", "(r.text)")} =
+                    {_NORM_SQL.replace("(text)", "(n.text)")})
+        """,
+        # integer-exact rollup (// = DuckDB int division, `div` on the Spark
+        # side); n_unique counts distinct NORMALIZED TEXT where Spark counts
+        # distinct xxhash64 — cross-representation
+        "source_reputation": f"""
+            WITH deco AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN 'duplicate filler block for source ' || source
+                          ELSE text END AS text
+              FROM documents),
+            f AS (
+              SELECT source, text,
+                     {_NORM_SQL} AS norm,
+                     len(string_split_regex({_NORM_SQL}, '\\s+')) AS n_tok,
+                     length({_NORM_SQL})::DOUBLE AS n_chars,
+                     len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct,
+                     len(list_filter(string_split_regex({_NORM_SQL}, '\\s+'),
+                                     t -> list_contains({sw_en}, t)))::DOUBLE AS sw
+              FROM deco),
+            g AS (
+              SELECT source, norm, n_tok,
+                     (n_tok >= 5 AND n_chars / greatest(n_tok, 1) >= 2.0
+                      AND n_chars / greatest(n_tok, 1) <= 12.0
+                      AND n_punct / greatest(length(text), 1) <= 0.3
+                      AND sw / greatest(n_tok, 1) >= 0.01) AS keep
+              FROM f)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT norm) AS BIGINT) AS n_unique,
+                   CAST((count(*) - count(DISTINCT norm)) * 10000 // count(*) AS BIGINT) AS dup_rate_e4,
+                   CAST(sum(n_tok) * 1000 // count(*) AS BIGINT) AS mean_tokens_m,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS keep_rate_e4
+            FROM g GROUP BY source
         """,
         "pii_redaction": pii_sql,
         # 5-gram shingles (same short-doc whole-text fallback as the Spark

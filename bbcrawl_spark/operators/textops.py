@@ -735,6 +735,31 @@ def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3):
     return minhash_udf
 
 
+def _band_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) -> (id, sig, band, bucket): one row per LSH band, the
+    bucket being the xxhash64 of that band's signature slice. JVM-side
+    ``transform`` + ``explode`` — the signature array is never copied per
+    band, only sliced."""
+    rows = num_hashes // bands
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice("sig", i * rows + 1, rows), lambda x: x.cast("string")
+                        ))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
 def _drop_hot_buckets(
     banded: DataFrame, max_bucket_size: int | None
 ) -> DataFrame:
@@ -790,26 +815,9 @@ def minhash_lsh_pairs(
     ~1.2 GB pair array, approaching the 2 GB single-value limit. Keep the
     cap in the low thousands.
     """
-    rows = num_hashes // bands
     udf = make_minhash_udf(num_hashes, shingle_n)
     sig = df.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("sig"))
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(
-                            F.slice("sig", i * rows + 1, rows), lambda x: x.cast("string")
-                        ))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    banded = _band_signatures(sig, num_hashes, bands)
     banded = _drop_hot_buckets(banded, max_bucket_size)
     grouped = (
         banded.groupBy("band", "bucket")
@@ -1016,3 +1024,199 @@ def simhash_dedup(
         .select(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# cross-document paragraph dedup (keep first occurrence)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """RefinedWeb/Falcon-style cross-document EXACT segment dedup: a
+    paragraph (``sep``-delimited segment, byte-exact match) that already
+    appeared in an earlier position of the corpus is removed from every
+    LATER document; the first occurrence — ordered by (``id_col``,
+    position) — survives in place. Complements
+    ``strip_boilerplate_lines`` (which removes a line from *all*
+    documents once its document frequency passes a cap; this keeps
+    exactly one copy of every repeated segment, however rare).
+
+    Segments shorter than ``min_chars`` (default 1: empty segments from
+    consecutive separators) are never dedup candidates — deduping the
+    empty string would strip every blank line after the corpus's first.
+
+    Returns (``id_col``, clean_text) for every input document.
+
+    Scale shape: posexplode segments → groupBy the segment's ``xxhash64``
+    (8-byte exchange key) taking ``min(struct(id, pos))`` — an aggregate
+    with map-side partial combine, so a nav segment shared by 10^7
+    documents sends one partial row per task, not 10^7 rows to one
+    reducer (the window-rank formulation would) → join instances back on
+    the hash (AQE-sized) → order-preserving reassembly via
+    ``array_sort(collect_list(struct(pos, seg)))`` as in
+    ``strip_boilerplate_lines``. Identity is the 8-byte hash, the same
+    accepted-collision contract as ``exact_dedup``.
+    """
+    import re as _re
+
+    segs = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "seg"),
+    ).withColumn("_k", F.xxhash64("seg"))
+    first = (
+        segs.filter(F.length("seg") >= min_chars)
+        .groupBy("_k")
+        .agg(F.min(F.struct(F.col("id"), F.col("pos"))).alias("_first"))
+    )
+    kept = (
+        segs.join(first, "_k", "left")
+        .filter(
+            F.col("_first").isNull()
+            | ((F.col("_first.id") == F.col("id")) & (F.col("_first.pos") == F.col("pos")))
+        )
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+        ).alias("clean_text")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, F.col(id_col) == rebuilt["id"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near: bool = False,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental corpus update: keep only the rows of ``new_df`` whose
+    text is NOT already in ``ref_df`` (the existing corpus / previous
+    crawl snapshot). The ref side is never rewritten — at 100 TB the
+    standing corpus stays in place and only the new snapshot's delta is
+    screened, the same maintenance-∝-|delta| contract as the incremental
+    Bloom seen-set.
+
+    Exact screen: anti-join on ``xxhash64(normalized(text))`` — the ref
+    side reduces to DISTINCT 8-byte hashes before the join (one map-side
+    combinable agg), so no reference text ever crosses the exchange.
+    Same hash-identity contract as ``exact_dedup``.
+
+    ``near=True`` adds a MinHash-LSH screen: signatures for both sides,
+    band-bucket join ref↔new (each side hot-capped via
+    ``max_bucket_size`` BEFORE the join, bounding the per-bucket join
+    fan-out at cap² rather than |ref bucket|×|new bucket|), and any new
+    doc whose estimated Jaccard against some ref doc reaches
+    ``threshold`` is dropped. Near screening is a lower bound (banding
+    recall — see ``minhash_lsh_recall``), never a false drop above
+    threshold mis-estimation.
+    """
+    h = F.xxhash64(normalized(text_col)).alias("_h")
+    ref_hashes = ref_df.select(h).distinct()
+    out = (
+        new_df.withColumn("_h", F.xxhash64(normalized(text_col)))
+        .join(ref_hashes, "_h", "left_anti")
+        .drop("_h")
+    )
+    if not near:
+        return out
+    udf = make_minhash_udf(num_hashes, shingle_n)
+    new_sig = out.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("sig"))
+    ref_sig = ref_df.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("sig"))
+    new_b = _drop_hot_buckets(
+        _band_signatures(new_sig, num_hashes, bands), max_bucket_size
+    ).select("band", "bucket", F.col("id").alias("new_id"), F.col("sig").alias("new_sig"))
+    ref_b = _drop_hot_buckets(
+        _band_signatures(ref_sig, num_hashes, bands), max_bucket_size
+    ).select("band", "bucket", F.col("id").alias("ref_id"), F.col("sig").alias("ref_sig"))
+    est = F.size(
+        F.filter(F.zip_with("new_sig", "ref_sig", lambda a, b: a == b), lambda v: v)
+    ).cast("double") / F.lit(num_hashes)
+    near_hits = (
+        new_b.join(ref_b, ["band", "bucket"])
+        .filter(est >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return out.join(near_hits, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# per-source reputation rollup
+# ---------------------------------------------------------------------------
+
+
+def source_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source (domain/provenance) corpus reputation rollup — the
+    signal RefinedWeb-style URL/domain filtering ranks on: volume,
+    duplication rate, mean document length, quality-gate pass rate.
+
+    Columns (integer-exact across engines — no floating accumulation):
+    ``n_docs``, ``n_unique`` (distinct normalized-text hashes),
+    ``dup_rate_e4`` = floor((n_docs − n_unique)·10⁴ / n_docs),
+    ``mean_tokens_m`` = floor(Σ tokens·10³ / n_docs),
+    ``keep_rate_e4`` = floor(#(quality keep)·10⁴ / n_docs).
+
+    One groupBy on the source key (map-side partial for every aggregate,
+    count_distinct included via its two-phase plan); quality features are
+    the ``quality_score`` column expressions inline — no second pass over
+    the text. All counters are longs before scaling (the e4-overflow
+    lesson: 10⁴ × an int32 count overflows ANSI mode at ~215k).
+    """
+    q = quality_score(df, text_col)
+    n_docs = F.count(F.lit(1)).cast("long")
+    n_unique = F.count_distinct(F.xxhash64(normalized(text_col))).cast("long")
+    sum_tok = F.sum(F.col("q_n_tokens").cast("long"))
+    n_keep = F.sum(F.col("q_keep").cast("long"))
+    return (
+        q.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            n_docs.alias("n_docs"),
+            n_unique.alias("n_unique"),
+            sum_tok.alias("_sum_tok"),
+            n_keep.alias("_n_keep"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_unique",
+            # `div` = exact integer division (no double rounding at the
+            # floor boundary, unlike floor(x * 1e4 / n)); operands are
+            # non-negative so div == floor
+            "(n_docs - n_unique) * 10000 div n_docs AS dup_rate_e4",
+            "_sum_tok * 1000 div n_docs AS mean_tokens_m",
+            "_n_keep * 10000 div n_docs AS keep_rate_e4",
+        )
+    )

@@ -61,6 +61,7 @@ def test_all_queries_have_entry_or_rows_only():
         "minhash_dedup_docs", "simhash_pairs_docs", "ann_lsh_knn", "ann_ivf_knn",
         "ann_recall", "near_dup_recall", "minhash_lsh_recall", "simhash_closure_check",
         "multimodal_features", "multimodal_audio", "bloom_incremental", "crawl_roundtrip",
+        "incremental_dedup_near",
     }
 
 
@@ -73,8 +74,26 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize(
     "name", ["minhash_dedup_docs", "simhash_pairs_docs", "ann_lsh_knn", "ann_ivf_knn",
              "ann_recall", "near_dup_recall", "minhash_lsh_recall", "simhash_closure_check",
-             "multimodal_features", "multimodal_audio", "bloom_incremental"]
+             "multimodal_features", "multimodal_audio", "bloom_incremental",
+             "incremental_dedup_near"]
 )
 def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_incremental_dedup_near_survivors(spark):
+    """The near screen drops every %4 near-variant (tail-appended text, true
+    Jaccard ≥ ~0.9 — inside the pinned banding-recall regime) and keeps
+    every fresh doc; at sf0.001 the survivor set is exact."""
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    expect = {
+        r["doc_id"] + 1000000
+        for r in d.filter("doc_id % 4 <> 0").select("doc_id").collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in entry_mod.queries()["incremental_dedup_near"](spark, sf).collect()
+    }
+    assert got == expect

@@ -1002,3 +1002,125 @@ class TestIVF:
         r1 = sorted(map(tuple, similarity.ivf_knn(corpus, queries, dim=64, k=3).collect()))
         r2 = sorted(map(tuple, similarity.ivf_knn(corpus, queries, dim=64, k=3).collect()))
         assert r1 == r2
+
+
+class TestParagraphDedup:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_later_copies_removed_first_kept(self, spark):
+        df = self._df(spark, [
+            (1, "cookie banner\nalpha body\nfooter"),
+            (2, "cookie banner\nbeta body\nfooter"),
+            (3, "gamma body\ncookie banner"),
+        ])
+        got = {r["doc_id"]: r["clean_text"]
+               for r in textops.paragraph_dedup(df).collect()}
+        # doc 1 (lowest id) keeps both shared segments; later docs lose them
+        assert got[1] == "cookie banner\nalpha body\nfooter"
+        assert got[2] == "beta body"
+        assert got[3] == "gamma body"
+
+    def test_within_doc_repeats_collapse_to_first(self, spark):
+        df = self._df(spark, [(7, "dup line\nmiddle\ndup line")])
+        got = textops.paragraph_dedup(df).collect()[0]["clean_text"]
+        assert got == "dup line\nmiddle"
+
+    def test_empty_segments_never_dedup_candidates(self, spark):
+        # consecutive separators make '' segments; deduping them would strip
+        # every blank line after the corpus's first
+        df = self._df(spark, [(1, "a\n\nb"), (2, "c\n\nd\n\ne")])
+        got = {r["doc_id"]: r["clean_text"]
+               for r in textops.paragraph_dedup(df).collect()}
+        assert got[1] == "a\n\nb"
+        assert got[2] == "c\n\nd\n\ne"
+
+    def test_identity_when_no_duplicates(self, spark):
+        rows = [(i, f"unique {i}\nbody {i}") for i in range(10)]
+        df = self._df(spark, rows)
+        got = {r["doc_id"]: r["clean_text"]
+               for r in textops.paragraph_dedup(df).collect()}
+        assert got == {i: t for i, t in rows}
+
+    def test_paragraph_separator_mode(self, spark):
+        df = self._df(spark, [
+            (1, "shared para\n\nown one"),
+            (2, "own two\n\nshared para"),
+        ])
+        got = {r["doc_id"]: r["clean_text"]
+               for r in textops.paragraph_dedup(df, sep="\n\n").collect()}
+        assert got[1] == "shared para\n\nown one"
+        assert got[2] == "own two"
+
+    def test_min_chars_guards_short_segments(self, spark):
+        df = self._df(spark, [(1, "x\nlong segment"), (2, "x\nother")])
+        got = {r["doc_id"]: r["clean_text"]
+               for r in textops.paragraph_dedup(df, min_chars=2).collect()}
+        # 'x' is below min_chars -> kept in both docs
+        assert got[1] == "x\nlong segment"
+        assert got[2] == "x\nother"
+
+
+class TestDedupAgainst:
+    def test_exact_screen_drops_known_texts(self, spark):
+        ref = spark.createDataFrame(
+            [(1, "The quick brown fox."), (2, "Other reference doc.")],
+            "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(10, "the quick  brown fox."),   # normalized-equal to ref 1
+             (11, "Genuinely new content here.")],
+            "doc_id long, text string")
+        got = textops.dedup_against(new, ref)
+        assert [r["doc_id"] for r in got.collect()] == [11]
+        # original columns survive untouched
+        assert got.columns == ["doc_id", "text"]
+
+    def test_near_screen_drops_planted_variant(self, spark):
+        base = ("word" + " token alpha beta gamma delta epsilon zeta eta theta"
+                " iota kappa lambda mu nu xi omicron pi rho sigma tau") * 3
+        variant = base.replace("alpha", "ALTERED", 1)  # tiny edit, J ~ high
+        ref = spark.createDataFrame([(1, base)], "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(10, variant), (11, "completely different short doc text")],
+            "doc_id long, text string")
+        kept_exact = textops.dedup_against(new, ref)
+        assert {r["doc_id"] for r in kept_exact.collect()} == {10, 11}
+        kept_near = textops.dedup_against(new, ref, near=True, threshold=0.5)
+        assert {r["doc_id"] for r in kept_near.collect()} == {11}
+
+    def test_ref_side_never_returned(self, spark):
+        ref = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        new = spark.createDataFrame([(9, "x y z")], "doc_id long, text string")
+        assert {r["doc_id"] for r in textops.dedup_against(new, ref).collect()} == {9}
+
+
+class TestSourceStats:
+    def test_exact_rollup_values(self, spark):
+        good = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [
+                (1, good, "sA"),
+                (2, good, "sA"),            # exact dup within sA
+                (3, good + " extra", "sA"),
+                (4, "!!! ???", "sB"),       # fails quality gates
+                (5, good, "sB"),
+            ],
+            "doc_id long, text string, source string")
+        got = {r["source"]: r for r in textops.source_stats(df).collect()}
+        a, b = got["sA"], got["sB"]
+        assert (a["n_docs"], a["n_unique"]) == (3, 2)
+        assert a["dup_rate_e4"] == (3 - 2) * 10000 // 3
+        assert a["keep_rate_e4"] == 10000
+        # sA token sum: 12 + 12 + 13 = 37
+        assert a["mean_tokens_m"] == 37 * 1000 // 3
+        assert (b["n_docs"], b["n_unique"]) == (2, 2)
+        assert b["dup_rate_e4"] == 0
+        assert b["keep_rate_e4"] == 5000
+
+    def test_single_shuffle_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f", "s")], "doc_id long, text string, source string")
+        plan = textops.source_stats(df)._jdf.queryExecution().executedPlan().toString()
+        # one logical rollup: no Python eval, and the only exchanges are the
+        # two-phase distinct-count expansion over the SAME source key
+        assert "EvalPython" not in plan
