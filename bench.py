@@ -14,6 +14,9 @@ Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
                          shape, kept as the comparison row)
   extract_fused          fused text+links extraction (one decode+parse per
                          page — what the round loop runs)
+  warc_ingest_stream     streamed WARC ingest from paths (16 gz segments x
+                         500 pages; workers stream records, scan ships
+                         paths only)
   exact_dedup_docs       hash-window dedup over documents
   minhash_dedup          MinHash+LSH near-dup dedup over documents
                          (round-3: transitively correct via cluster resolution)
@@ -25,6 +28,8 @@ Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
   minhash_signatures     the vectorized signature kernel alone
   ngram_jaccard          exact shingle-join Jaccard pairs over documents
   strip_boilerplate      cross-corpus boilerplate-line removal (line-df pass)
+  paragraph_dedup        cross-document keep-first segment dedup
+  incremental_dedup      new-snapshot screen vs the standing corpus
   embedding_knn          brute-force cosine top-10, 5 queries x embeddings
   bloom_full_rebuild_20m / bloom_incr_update_20m
                          one round of seen-Bloom maintenance at 20M keys:
@@ -198,6 +203,33 @@ def main() -> None:
     )
     pages_df.unpersist()
 
+    # --- WARC ingest, streamed from paths (the round-5 default shape) -----
+    # 16 gzipped segments x 500 realistic forum pages; workers open each
+    # segment themselves and stream records — the binaryFile scan ships
+    # paths only. Fixture build (driver-side gzip) is outside the timing.
+    from bbcrawl_spark.sources import warc as warc_src
+
+    wdir = tempfile.mkdtemp(prefix="bench_warc_")
+    bodies = list(site.pages.values())[:500]
+    N_SEG = 16
+    for i in range(N_SEG):
+        recs = [
+            (f"http://seg{i}.example.com/p/{j}", "2024-01-01T00:00:00Z", b,
+             {"Content-Type": "text/html; charset=utf-8"})
+            for j, b in enumerate(bodies)
+        ]
+        with open(os.path.join(wdir, f"seg{i}.warc.gz"), "wb") as fh:
+            fh.write(warc_src.build_warc(recs, gzipped=True))
+    n_warc_pages = N_SEG * len(bodies)
+
+    def warc_ingest():
+        assert warc_src.read_warc_pages(spark, wdir).count() == n_warc_pages
+
+    timed("warc_ingest_stream", warc_ingest)
+    extras["warc_ingest_pages_per_sec"] = round(
+        n_warc_pages / timings["warc_ingest_stream"], 1
+    )
+
     # --- corpus ops over the sf tables -------------------------------------
     # single parquet file -> 1-2 input partitions; spread UDF work
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
@@ -287,6 +319,24 @@ def main() -> None:
         return entry.q_corpus_clean(spark, SF_DIR).count()
 
     timed("corpus_clean", corpus_clean)
+
+    # cross-document keep-first paragraph dedup (round-5 operator: segment
+    # hash groupBy-min -> instance join -> ordered reassembly)
+    def paragraph_dedup():
+        import __spark_entry__ as entry
+
+        return entry.q_paragraph_dedup_docs(spark, SF_DIR).count()
+
+    timed("paragraph_dedup", paragraph_dedup)
+
+    # incremental snapshot screen (round-5 operator: new batch anti-joined
+    # against the standing corpus's distinct text hashes; cost ∝ |delta|)
+    def incremental_dedup():
+        import __spark_entry__ as entry
+
+        return entry.q_incremental_dedup(spark, SF_DIR).count()
+
+    timed("incremental_dedup", incremental_dedup)
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
