@@ -1178,6 +1178,23 @@ def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.source_stats(deco)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source subsampling (textops.stratified_sample):
+    even-numbered sources kept at 0.5, odd at 0.25, drawn from
+    md5(doc_id || salt) — no RNG state, so the oracle replays the EXACT
+    same sample (md5 is ubiquitous; xxhash64 is not). The fractions config
+    is built from the table's distinct sources (a P-row driver collect,
+    the config-table pattern)."""
+    d = _read(spark, sf_dir, "documents")
+    sources = [r["source"] for r in d.select("source").distinct().collect()]
+    fractions = {
+        s: 0.5 if int(s.removeprefix("src")) % 2 == 0 else 0.25 for s in sources
+    }
+    return textops.stratified_sample(
+        d.select("doc_id", "source"), fractions, salt="r5"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_cutter": q_frontier_cutter,
@@ -1218,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_docs": q_paragraph_dedup_docs,
         "incremental_dedup": q_incremental_dedup,
         "source_reputation": q_source_reputation,
+        "stratified_sample": q_stratified_sample,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -1742,6 +1760,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tok) * 1000 // count(*) AS BIGINT) AS mean_tokens_m,
                    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS keep_rate_e4
             FROM g GROUP BY source
+        """,
+        # identical md5 draw replayed in SQL — same hex prefix, same
+        # thresholds (0.5 -> '80000000', 0.25 -> '40000000')
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE substring(md5(CAST(doc_id AS STRING) || 'r5'), 1, 8) <
+                  CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+                       THEN '80000000' ELSE '40000000' END
         """,
         "pii_redaction": pii_sql,
         # 5-gram shingles (same short-doc whole-text fallback as the Spark

@@ -1220,3 +1220,65 @@ def source_stats(
             "_n_keep * 10000 div n_docs AS keep_rate_e4",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (hash draws, no RNG state)
+# ---------------------------------------------------------------------------
+
+
+def _frac_hex_threshold(frac: float) -> str | None:
+    """Fraction -> 8-hex-char threshold for the md5-prefix draw, or None
+    for keep-everything. A row is kept iff substring(md5(key),1,8) <
+    threshold (lexicographic compare of fixed-width lowercase hex ==
+    numeric compare), giving P(keep) = frac to within 2^-32."""
+    if frac >= 1.0:
+        return None
+    n = max(int(round(frac * (1 << 32))), 0)
+    if n >= (1 << 32):
+        return None
+    return format(n, "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group subsampling — the reproducible form of the
+    'sample source X at rate p' step in corpus-mixing recipes. Each row's
+    draw is ``md5(id || salt)``: no RNG state, so the sample is identical
+    across runs, executors, partitionings, and ENGINES (the DuckDB oracle
+    replays the same md5 — unlike xxhash64, md5 is ubiquitous), and
+    changing ``salt`` yields an independent re-draw. A document keeps its
+    fate when other rows are added or removed — the property
+    ``df.sample()`` (partition-seeded RNG) cannot give.
+
+    ``fractions`` maps group value -> keep fraction (``default`` for
+    unlisted groups). The per-group threshold compiles to a literal CASE
+    chain — fine for the typical hundreds of domain classes; for millions
+    of groups, broadcast-join a (group, threshold) config table instead.
+
+    Pure column expressions, zero shuffles, zero UDFs: the filter runs
+    inside the scan's WholeStageCodegen span and Parquet row groups still
+    prune on any upstream predicate.
+    """
+    draw = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+    )
+
+    def _cond(frac: float) -> Column:
+        thr = _frac_hex_threshold(frac)
+        if thr is None:
+            return F.lit(True)
+        if thr == "00000000":
+            return F.lit(False)
+        return draw < F.lit(thr)
+
+    keep = _cond(default)
+    for g, frac in sorted(fractions.items()):
+        keep = F.when(F.col(group_col) == g, _cond(frac)).otherwise(keep)
+    return df.filter(keep)

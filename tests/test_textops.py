@@ -1124,3 +1124,52 @@ class TestSourceStats:
         # one logical rollup: no Python eval, and the only exchanges are the
         # two-phase distinct-count expansion over the SAME source key
         assert "EvalPython" not in plan
+
+
+class TestStratifiedSample:
+    def test_matches_python_md5_draw_exactly(self, spark):
+        import hashlib
+        rows = [(i, f"s{i % 3}") for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        fr = {"s0": 0.5, "s1": 0.25}
+        got = {r["doc_id"] for r in
+               textops.stratified_sample(df, fr, salt="t", default=0.1).collect()}
+        def keep(i, g):
+            frac = fr.get(g, 0.1)
+            thr = textops._frac_hex_threshold(frac)
+            return thr is not None and hashlib.md5(f"{i}t".encode()).hexdigest()[:8] < thr
+        want = {i for i, g in rows if keep(i, g)}
+        assert got == want
+        assert 0 < len(got) < len(rows)
+
+    def test_salt_redraws_same_salt_repeats(self, spark):
+        df = spark.createDataFrame([(i, "s") for i in range(500)],
+                                   "doc_id long, source string")
+        a1 = {r["doc_id"] for r in textops.stratified_sample(df, {"s": 0.5}, salt="a").collect()}
+        a2 = {r["doc_id"] for r in textops.stratified_sample(df, {"s": 0.5}, salt="a").collect()}
+        b = {r["doc_id"] for r in textops.stratified_sample(df, {"s": 0.5}, salt="b").collect()}
+        assert a1 == a2
+        assert a1 != b
+
+    def test_edge_fractions(self, spark):
+        df = spark.createDataFrame([(i, "all" if i < 50 else "none") for i in range(100)],
+                                   "doc_id long, source string")
+        got = textops.stratified_sample(df, {"all": 1.0, "none": 0.0}).collect()
+        assert {r["doc_id"] for r in got} == set(range(50))
+
+    def test_membership_stable_under_corpus_growth(self, spark):
+        # a doc's fate depends only on (id, salt) — adding rows never flips
+        # it (the property partition-seeded df.sample() lacks)
+        small = spark.createDataFrame([(i, "s") for i in range(100)],
+                                      "doc_id long, source string")
+        big = spark.createDataFrame([(i, "s") for i in range(1000)],
+                                    "doc_id long, source string")
+        ks = {r["doc_id"] for r in textops.stratified_sample(small, {"s": 0.3}).collect()}
+        kb = {r["doc_id"] for r in textops.stratified_sample(big, {"s": 0.3}).collect()}
+        assert ks == {i for i in kb if i < 100}
+
+    def test_no_shuffle_no_python(self, spark):
+        df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+        plan = textops.stratified_sample(df, {"s": 0.5})._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
