@@ -1053,49 +1053,54 @@ def paragraph_dedup(
 
     Returns (``id_col``, clean_text) for every input document.
 
-    Scale shape: posexplode segments → groupBy the segment's ``xxhash64``
-    (8-byte exchange key) taking ``min(struct(id, pos))`` — an aggregate
-    with map-side partial combine, so a nav segment shared by 10^7
-    documents sends one partial row per task, not 10^7 rows to one
-    reducer (the window-rank formulation would) → join instances back on
-    the hash (AQE-sized) → order-preserving reassembly via
-    ``array_sort(collect_list(struct(pos, seg)))`` as in
-    ``strip_boilerplate_lines``. Identity is the 8-byte hash, the same
+    Scale shape — NO segment text ever crosses an exchange. The exploded
+    side is projected down to ``(id, pos, xxhash64(seg), length(seg))``
+    BEFORE any shuffle; the keep-first winner per hash is a
+    map-side-combinable ``min(struct(id, pos))`` aggregate (a nav segment
+    shared by 10^7 documents sends one partial row per task, not 10^7
+    rows to one reducer the way a window rank would); surviving POSITIONS
+    regroup per document as an int array; and the clean text is rebuilt
+    by re-splitting the original row and picking those positions — so
+    document text is read where it already lives and crosses at most the
+    final id-join (which AQE broadcasts when the position table is
+    small). Segment identity is the 8-byte hash, the same
     accepted-collision contract as ``exact_dedup``.
     """
     import re as _re
 
+    pat = _re.escape(sep)
     segs = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "seg"),
-    ).withColumn("_k", F.xxhash64("seg"))
+        F.posexplode(F.split(F.col(text_col), pat)).alias("pos", "seg"),
+    ).select(
+        "id", "pos",
+        F.xxhash64("seg").alias("_k"),
+        F.length("seg").alias("_len"),
+    )
     first = (
-        segs.filter(F.length("seg") >= min_chars)
+        segs.filter(F.col("_len") >= min_chars)
         .groupBy("_k")
         .agg(F.min(F.struct(F.col("id"), F.col("pos"))).alias("_first"))
     )
-    kept = (
+    keep_pos = (
         segs.join(first, "_k", "left")
         .filter(
             F.col("_first").isNull()
             | ((F.col("_first.id") == F.col("id")) & (F.col("_first.pos") == F.col("pos")))
         )
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("_keep"))
     )
-    rebuilt = kept.groupBy("id").agg(
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
-                lambda x: x["seg"],
-            ),
-        ).alias("clean_text")
-    )
+    arr = F.split(F.col(text_col), pat)
     return (
-        df.select(F.col(id_col))
-        .join(rebuilt, F.col(id_col) == rebuilt["id"], "left")
+        df.join(keep_pos, df[id_col] == keep_pos["id"], "left")
         .select(
             id_col,
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.when(F.col("_keep").isNull(), F.lit(""))
+            .otherwise(
+                F.concat_ws(sep, F.transform(F.col("_keep"), lambda p: F.get(arr, p)))
+            )
+            .alias("clean_text"),
         )
     )
 

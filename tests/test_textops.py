@@ -1173,3 +1173,18 @@ class TestStratifiedSample:
         plan = textops.stratified_sample(df, {"s": 0.5})._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestParagraphDedupPlan:
+    def test_no_segment_text_crosses_an_exchange(self, spark):
+        # Scale pin: the exploded side must project down to
+        # (id, pos, hash, len) before any shuffle, and reassembly must
+        # regroup POSITIONS (ints), never (pos, seg) structs — the document
+        # text is re-split at the final join instead of being shuffled.
+        df = spark.createDataFrame([(1, "a\nb"), (2, "a\nc")],
+                                   "doc_id long, text string")
+        plan = textops.paragraph_dedup(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "collect_list(pos" in plan
+        assert "collect_list(struct(pos" not in plan
+        assert "EvalPython" not in plan
