@@ -1195,6 +1195,57 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window training-sequence chunking (textops.chunk_documents):
+    32-token windows, 8-token overlap (stride 24), so a typical synthetic
+    doc yields several rows and the tail window is shorter — non-vacuous at
+    every doc length. Oracle replays the same windows via generate_series +
+    list slicing; both engines tokenize the normalized text with empty
+    tokens dropped."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.chunk_documents(d.select("doc_id", "text"), chunk_tokens=32, overlap=8)
+
+
+#: NFC fixture tails — explicit escapes so composed-vs-decomposed is
+#: unambiguous in source; the oracle embeds the SAME Python strings
+_NFC_DECOMPOSED_TAIL = " cafe\u0301 re\u0301sume\u0301"  # NFC-composable
+_NFC_COMPOSED_TAIL = " caf\u00e9 plain"  # already NFC (fixpoint)
+
+
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (textops.normalize_unicode — the one
+    corpus pass SQL can't express, so the Arrow kernel is cross-checked
+    against DuckDB's ICU-backed nfc_normalize, like the stratified md5
+    draw). Decoration makes both flag values non-vacuous: doc_id%3==0 gets
+    a DECOMPOSED tail (e + U+0301, composed by NFC -> changed=1), the rest
+    a precomposed tail (NFC fixpoint -> changed=0). The decomposed/composed
+    literals are built from the same Python escapes on both sides."""
+    d = _read(spark, sf_dir, "documents")
+    deco = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(_NFC_DECOMPOSED_TAIL)),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(_NFC_COMPOSED_TAIL)))
+        .alias("text"),
+    )
+    return textops.normalize_unicode(deco).select(
+        "doc_id", "nfc_text", "nfc_text_changed_int"
+    )
+
+
+def q_hashed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality model (textops.hashed_linear_score):
+    every token md5-hashes to one of 256 buckets whose integer weights sum
+    to the document score — the fasttext-style model-filter plumbing with a
+    deterministic stand-in weight table (textops.hash_weights). Integer
+    arithmetic end to end, so the oracle reproduces score_sum bit-for-bit
+    from the same bucket math and the same regenerated table."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.hashed_linear_score(d.select("doc_id", "text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_cutter": q_frontier_cutter,
@@ -1236,6 +1287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "source_reputation": q_source_reputation,
         "stratified_sample": q_stratified_sample,
+        "chunk_docs": q_chunk_docs,
+        "unicode_nfc": q_unicode_nfc,
+        "hashed_quality": q_hashed_quality,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -1302,6 +1356,10 @@ def oracle_sql() -> dict[str, str]:
     """.replace("@EMAILPAT@", _pii_pats["email"]).replace(
         "@IPPAT@", _pii_pats["ip"]
     ).replace("@PHONEPAT@", _pii_pats["phone"])
+
+    # hashed_quality: regenerate the SAME deterministic weight table the
+    # Spark op defaults to (textops.hash_weights — pure integer formula)
+    _wlist = "[" + ", ".join(str(x) for x in textops.hash_weights()) + "]"
 
     return {
         "frontier_cutter": """
@@ -1768,6 +1826,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE substring(md5(CAST(doc_id AS STRING) || 'r5'), 1, 8) <
                   CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
                        THEN '80000000' ELSE '40000000' END
+        """,
+        # same 32-token/8-overlap windows via generate_series (step 24) +
+        # 1-based inclusive list slices (both engines clamp at the tail)
+        "chunk_docs": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex({_NORM_SQL}, '\\s+'),
+                                 x -> x != '') AS toks
+              FROM documents),
+            nz AS (SELECT * FROM t WHERE len(toks) > 0),
+            s AS (SELECT doc_id, toks,
+                         unnest(generate_series(0, len(toks) - 1, 24)) AS cs
+                  FROM nz)
+            SELECT doc_id,
+                   CAST(cs // 24 AS INT) AS chunk_id,
+                   CAST(cs AS BIGINT) AS chunk_start,
+                   CAST(len(toks[cs + 1 : cs + 32]) AS INT) AS n_chunk_tokens,
+                   array_to_string(toks[cs + 1 : cs + 32], ' ') AS chunk_text
+            FROM s
+        """,
+        # ICU nfc_normalize vs the pandas/ICU Arrow kernel — the tails are
+        # the SAME Python strings the Spark query decorates with
+        "unicode_nfc": f"""
+            WITH deco AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 3 = 0
+                                  THEN '{_NFC_DECOMPOSED_TAIL}'
+                                  ELSE '{_NFC_COMPOSED_TAIL}' END AS text
+              FROM documents)
+            SELECT doc_id, nfc_normalize(text) AS nfc_text,
+                   CAST(nfc_normalize(text) != text AS INT) AS nfc_text_changed_int
+            FROM deco
+        """,
+        # identical bucket math (two md5 hex chars -> 0..255) over the
+        # regenerated integer weight table; integer sums, so bit-exact
+        "hashed_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex({_NORM_SQL}, '\\s+'),
+                                 x -> x != '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, text, toks,
+                     CAST(COALESCE(list_sum(list_transform(toks, x -> {_wlist}[
+                       ((instr('0123456789abcdef', substring(md5(x), 1, 1)) - 1) * 16 +
+                        (instr('0123456789abcdef', substring(md5(x), 2, 1)) - 1)) % 256 + 1])),
+                       0) AS BIGINT) AS score_sum
+              FROM t)
+            SELECT doc_id, text, CAST(len(toks) AS INT) AS n_tokens_scored,
+                   score_sum, CAST(score_sum > 0 AS INT) AS keep_int
+            FROM s
         """,
         "pii_redaction": pii_sql,
         # 5-gram shingles (same short-doc whole-text fallback as the Spark

@@ -1287,3 +1287,150 @@ def stratified_sample(
     for g, frac in sorted(fractions.items()):
         keep = F.when(F.col(group_col) == g, _cond(frac)).otherwise(keep)
     return df.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# fixed-window document chunking (training-sequence preparation)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size whitespace-token windows with
+    ``overlap`` shared tokens between consecutive windows — the
+    pack-into-context-length step of training-data preparation.
+
+    Output: one row per (doc, chunk) with ``chunk_id`` (0-based within the
+    doc), ``chunk_start`` (token offset), ``n_chunk_tokens`` (≤
+    ``chunk_tokens``; the tail window is shorter), ``chunk_text``. Windows
+    start every ``chunk_tokens − overlap`` tokens while a token remains, so
+    every token appears in ≥1 chunk; zero-token documents produce no rows.
+
+    Pure map-side column expressions — tokenize, ``sequence`` of window
+    starts, ``posexplode``, ``slice`` — ZERO exchanges and ZERO Python: at
+    100 TB the pass is a flat-map riding the scan, and the output inherits
+    the input's partitioning (no chunk ever crosses an executor boundary
+    from its parent doc)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") > 0)
+    starts = F.sequence(F.lit(0), F.size(F.col("_toks")) - 1, F.lit(stride))
+    piece = F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens)
+    return (
+        base.select(id_col, "_toks", F.posexplode(starts).alias("chunk_id", "chunk_start"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.size(piece).alias("n_chunk_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (NFC et al. — the one text pass SQL can't express)
+# ---------------------------------------------------------------------------
+
+#: C0/C1 controls except \t \n \r — written in the Java-regex ∩ RE2 dialect
+#: so the DuckDB oracle replays the IDENTICAL pattern (the redact_pii rule)
+CONTROL_CHARS_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_controls: bool = False,
+    out_col: str = "nfc_text",
+) -> DataFrame:
+    """Unicode-normalize the text column (default NFC — the canonical
+    composition every dedup/hash pass should run FIRST, or visually
+    identical strings like ``e`` + U+0301 vs precomposed ``é`` hash
+    apart and defeat exact dedup).
+
+    Spark SQL has no normalization builtin, so this is the honest Arrow
+    path: ONE vectorized ``pandas_udf`` riding ``Series.str.normalize``
+    (ICU-backed C, not per-row Python) — zero shuffles, and the heavy
+    relational work stays JVM-side on the already-normalized output.
+    ``strip_controls`` first removes C0/C1 controls (JVM
+    ``regexp_replace``). Adds ``out_col`` and ``<out_col>_changed_int``
+    (1 iff normalization altered the string — the corpus-health metric)."""
+    src: Column = F.col(text_col)
+    if strip_controls:
+        src = F.regexp_replace(src, CONTROL_CHARS_PATTERN, "")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    out = df.withColumn(out_col, _norm(src))
+    return out.withColumn(
+        f"{out_col}_changed_int",
+        (F.col(out_col) != F.col(text_col)).cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick linear quality model (fasttext-style scoring, JVM-side)
+# ---------------------------------------------------------------------------
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def hash_weights(k: int = 256, seed: int = 12345) -> list[int]:
+    """Deterministic integer weight table for ``hashed_linear_score`` —
+    a stand-in for a trained model's weights in tests/benchmarks. Knuth
+    multiplicative scatter into [-50, 50]; pure integer arithmetic so any
+    engine (or the DuckDB oracle) regenerates the identical table."""
+    return [((i * 2654435761 + seed) % 101) - 50 for i in range(k)]
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: list[int] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear text classifier via the hashing trick (the fasttext-style
+    quality/model filter, e.g. DCLM's fasttext gate), evaluated entirely
+    JVM-side: each token hashes to a bucket (two md5 hex chars → 0..255,
+    then mod ``len(weights)``) and the document score is the INTEGER sum
+    of bucket weights — exact, order-independent, reproducible bit-for-bit
+    across engines (no float accumulation).
+
+    Adds ``n_tokens_scored``, ``score_sum`` (long), ``keep_int``
+    (score > 0). Pure column expressions (``transform`` + ``aggregate``
+    over the token array): ZERO exchanges, ZERO Python — the model rides
+    the scan. The literal weight array is the test harness; at 100 TB with
+    a real trained vocabulary, broadcast-join a (bucket, weight) table or
+    ship the array via ``F.lit`` the same way up to ~10⁵ buckets."""
+    w = hash_weights() if weights is None else list(weights)
+    k = len(w)
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+
+    def _wt(t: Column) -> Column:
+        h = F.md5(t)
+        bucket = (
+            (F.position(F.substring(h, 1, 1), F.lit(_HEX_DIGITS)) - 1) * 16
+            + (F.position(F.substring(h, 2, 1), F.lit(_HEX_DIGITS)) - 1)
+        ) % k
+        return F.element_at(warr, (bucket + 1).cast("int"))
+
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    score = F.aggregate(
+        F.transform(toks, _wt), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return df.select(
+        "*",
+        F.size(toks).alias("n_tokens_scored"),
+        score.alias("score_sum"),
+        (score > 0).cast("int").alias("keep_int"),
+    )

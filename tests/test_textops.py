@@ -1188,3 +1188,117 @@ class TestParagraphDedupPlan:
         assert "collect_list(pos" in plan
         assert "collect_list(struct(pos" not in plan
         assert "EvalPython" not in plan
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        toks = [f"t{i}" for i in range(10)]
+        df = _docs_df(spark, [" ".join(toks)])
+        rows = sorted(
+            textops.chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # stride 3 over 10 tokens -> starts 0,3,6,9
+        assert [r["chunk_start"] for r in rows] == [0, 3, 6, 9]
+        assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+        assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4, 1]
+        assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+        assert rows[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+        assert rows[3]["chunk_text"] == "t9"  # short tail window
+
+    def test_every_token_covered_exactly_stride_apart(self, spark):
+        text = " ".join(f"w{i}" for i in range(57))
+        df = _docs_df(spark, [text])
+        rows = textops.chunk_documents(df, chunk_tokens=16, overlap=4).collect()
+        covered = set()
+        for r in rows:
+            covered |= set(range(r["chunk_start"], r["chunk_start"] + r["n_chunk_tokens"]))
+        assert covered == set(range(57))
+
+    def test_empty_and_whitespace_docs_dropped(self, spark):
+        df = _docs_df(spark, ["", "   ", "one token here"])
+        rows = textops.chunk_documents(df, chunk_tokens=8, overlap=0).collect()
+        assert len(rows) == 1 and rows[0]["n_chunk_tokens"] == 3
+
+    def test_overlap_validation(self, spark):
+        df = _docs_df(spark, ["a b c"])
+        with pytest.raises(ValueError):
+            textops.chunk_documents(df, chunk_tokens=4, overlap=4)
+        with pytest.raises(ValueError):
+            textops.chunk_documents(df, chunk_tokens=4, overlap=-1)
+
+    def test_no_shuffle_no_python(self, spark):
+        df = _docs_df(spark, ["a b c d e f"])
+        plan = textops.chunk_documents(df, chunk_tokens=4, overlap=1) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestNormalizeUnicode:
+    def test_composes_decomposed(self, spark):
+        df = _docs_df(spark, ["café", "café"])
+        rows = sorted(textops.normalize_unicode(df).collect(), key=lambda r: r["doc_id"])
+        assert rows[0]["nfc_text"] == "café"
+        assert rows[0]["nfc_text_changed_int"] == 1
+        assert rows[1]["nfc_text"] == "café"  # NFC fixpoint
+        assert rows[1]["nfc_text_changed_int"] == 0
+
+    def test_idempotent(self, spark):
+        df = _docs_df(spark, ["åb ç x́ÿz"])
+        once = textops.normalize_unicode(df).select(
+            "doc_id", F.col("nfc_text").alias("text")
+        )
+        twice = textops.normalize_unicode(once).collect()
+        assert twice[0]["nfc_text_changed_int"] == 0
+
+    def test_strip_controls(self, spark):
+        df = _docs_df(spark, ["a\x00b\x1fc\nd\te"])
+        row = textops.normalize_unicode(df, strip_controls=True).collect()[0]
+        assert row["nfc_text"] == "abc\nd\te"  # \n \t survive, C0 stripped
+
+    def test_one_arrow_eval_no_shuffle(self, spark):
+        df = _docs_df(spark, ["abc"])
+        plan = textops.normalize_unicode(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, plan
+        assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+class TestHashedLinearScore:
+    @staticmethod
+    def _py_score(text):
+        import hashlib
+        import re as _re
+
+        w = textops.hash_weights()
+        toks = [t for t in _re.split(r"\s+", _re.sub(r"\s+", " ", text.lower()).strip()) if t]
+        s = 0
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            s += w[(int(h[0], 16) * 16 + int(h[1], 16)) % 256]
+        return len(toks), s
+
+    def test_matches_python_reference(self, spark):
+        texts = ["Hello World", "the quick brown fox JUMPS", "a", "x " * 40]
+        df = _docs_df(spark, texts)
+        rows = sorted(textops.hashed_linear_score(df).collect(), key=lambda r: r["doc_id"])
+        for r, text in zip(rows, texts):
+            n, s = self._py_score(text)
+            assert (r["n_tokens_scored"], r["score_sum"]) == (n, s), text
+            assert r["keep_int"] == int(s > 0)
+
+    def test_empty_text_scores_zero(self, spark):
+        df = _docs_df(spark, ["", "   "])
+        for r in textops.hashed_linear_score(df).collect():
+            assert (r["n_tokens_scored"], r["score_sum"], r["keep_int"]) == (0, 0, 0)
+
+    def test_custom_weights_all_ones_counts_tokens(self, spark):
+        df = _docs_df(spark, ["one two three four"])
+        row = textops.hashed_linear_score(df, weights=[1] * 256).collect()[0]
+        assert row["score_sum"] == 4 == row["n_tokens_scored"]
+
+    def test_no_shuffle_no_python(self, spark):
+        df = _docs_df(spark, ["a b c"])
+        plan = textops.hashed_linear_score(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
