@@ -30,6 +30,9 @@ Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
   strip_boilerplate      cross-corpus boilerplate-line removal (line-df pass)
   paragraph_dedup        cross-document keep-first segment dedup
   incremental_dedup      new-snapshot screen vs the standing corpus
+  chunk_docs             fixed-window training-sequence chunking (map-only)
+  hashed_quality         hashing-trick linear quality model (JVM integer sum)
+  unicode_nfc            NFC normalization (one Arrow stage)
   embedding_knn          brute-force cosine top-10, 5 queries x embeddings
   bloom_full_rebuild_20m / bloom_incr_update_20m
                          one round of seen-Bloom maintenance at 20M keys:
@@ -337,6 +340,29 @@ def main() -> None:
         return entry.q_incremental_dedup(spark, SF_DIR).count()
 
     timed("incremental_dedup", incremental_dedup)
+
+    # training-prep + model-filter passes (round-5 third pass). Each row
+    # aggregates a COMPUTED column — a bare count() would let Catalyst prune
+    # the chunk text / score / NFC output and measure nothing (the same
+    # branch-pruning trap as extract_pages).
+    timed(
+        "chunk_docs",
+        lambda: textops.chunk_documents(docs, chunk_tokens=64, overlap=8)
+        .agg(F.sum(F.length("chunk_text")), F.count("*"))
+        .first(),
+    )
+    timed(
+        "hashed_quality",
+        lambda: textops.hashed_linear_score(docs)
+        .agg(F.sum("score_sum"), F.sum("keep_int"))
+        .first(),
+    )
+    timed(
+        "unicode_nfc",
+        lambda: textops.normalize_unicode(docs)
+        .agg(F.sum(F.length("nfc_text")), F.sum("nfc_text_changed_int"))
+        .first(),
+    )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
