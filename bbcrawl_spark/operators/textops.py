@@ -1434,3 +1434,229 @@ def hashed_linear_score(
         score.alias("score_sum"),
         (score > 0).cast("int").alias("keep_int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing, mixture rebalancing, deterministic corpus shuffle
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int = 2048,
+    order_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    group_col: str | None = None,
+    slice_size: int | None = None,
+) -> DataFrame:
+    """Concatenate-and-split sequence packing — the standard pretraining
+    layout: documents are laid end to end in deterministic ``order_col``
+    order (within ``group_col`` if given, else over the whole corpus) and
+    the token stream is cut every ``seq_tokens`` tokens, crossing document
+    boundaries. Output is the packing MANIFEST: one row per (document,
+    sequence) piece, so a writer can assemble each training sequence from
+    its pieces without ever materializing the concatenated stream.
+
+    Output columns: the input's ``order_col`` (+ ``group_col``),
+    ``n_tokens`` (the doc's token count), ``seq_id`` (which packed
+    sequence this piece lands in, 0-based per group), ``seq_pos`` (token
+    offset of the piece inside that sequence), ``doc_tok_start`` (token
+    offset inside the doc where the piece begins), ``piece_tokens``.
+    Every token of every non-empty doc appears in exactly one piece;
+    every sequence except the last is exactly ``seq_tokens`` long.
+
+    Scale shape: the only sequential step is the running token total.
+    Without ``slice_size`` that is one window per group (fine when groups
+    are shards/domains; a single global group serializes). ``slice_size``
+    is the scale path, same two-level design as ``token_budget_sample``:
+    slice-local running sums in parallel, then an offset window over the
+    TINY per-slice totals table — after which the piece explode
+    (``sequence`` of crossed bins → ``posexplode``) is a pure flat-map.
+    Output identical to the unsliced path (identity-tested)."""
+    if seq_tokens < 1:
+        raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
+    tokens = (
+        F.col(token_col).cast("long")
+        if token_col
+        else F.size(F.filter(_tokens(F.col(text_col)), lambda t: t != "")).cast("long")
+    )
+    gcols = [group_col] if group_col else []
+    t = (
+        df.select(*gcols, F.col(order_col), tokens.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    if slice_size is None:
+        w = (
+            Window.partitionBy(*(gcols or [F.lit(0)]))
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        t = t.withColumn("_cum", F.sum("n_tokens").over(w).cast("long"))
+    else:
+        if slice_size < 1:
+            raise ValueError(f"slice_size must be >= 1, got {slice_size}")
+        t = t.withColumn(
+            "_slice", F.floor(F.col(order_col) / F.lit(slice_size)).cast("long")
+        )
+        w_local = (
+            Window.partitionBy(*gcols, "_slice")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        t = t.withColumn("_cum_local", F.sum("n_tokens").over(w_local).cast("long"))
+        totals = t.groupBy(*gcols, "_slice").agg(
+            F.sum("n_tokens").cast("long").alias("_slice_tot")
+        )
+        w_slices = (
+            Window.partitionBy(*(gcols or [F.lit(0)]))
+            .orderBy("_slice")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.withColumn(
+            "_off",
+            F.coalesce(F.sum("_slice_tot").over(w_slices), F.lit(0)).cast("long"),
+        ).select(*gcols, "_slice", "_off")
+        t = (
+            t.join(F.broadcast(offsets), [*gcols, "_slice"])
+            .withColumn("_cum", (F.col("_off") + F.col("_cum_local")).cast("long"))
+            .drop("_slice", "_off", "_cum_local")
+        )
+    g_start = (F.col("_cum") - F.col("n_tokens")).alias("_gs")
+    t = t.withColumn("_gs", g_start)
+    first_seq = F.floor(F.col("_gs") / seq_tokens).cast("long")
+    last_seq = F.floor((F.col("_cum") - 1) / seq_tokens).cast("long")
+    pstart = F.greatest(F.col("_gs"), F.col("seq_id") * seq_tokens)
+    pend = F.least(F.col("_cum"), (F.col("seq_id") + 1) * seq_tokens)
+    return (
+        t.select(
+            *gcols,
+            order_col,
+            "n_tokens",
+            "_gs",
+            "_cum",
+            F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        )
+        .select(
+            *gcols,
+            order_col,
+            "n_tokens",
+            F.col("seq_id").cast("long").alias("seq_id"),
+            (pstart - F.col("seq_id") * seq_tokens).cast("long").alias("seq_pos"),
+            (pstart - F.col("_gs")).cast("long").alias("doc_tok_start"),
+            (pend - pstart).cast("long").alias("piece_tokens"),
+        )
+    )
+
+
+def hex_to_long(col: Column, width: int) -> Column:
+    """Integer value of a fixed-width lowercase-hex column (JVM ``conv``);
+    ``width`` ≤ 15 so the value always fits a long."""
+    if not 1 <= width <= 15:
+        raise ValueError(f"width must be in [1, 15], got {width}")
+    return F.conv(F.substring(col, 1, width), 16, 10).cast("long")
+
+
+def rebalance_corpus(
+    df: DataFrame,
+    targets: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Rebalance the corpus to a target group mixture — the 'mix sources
+    at ratio a:b:c' step of a training recipe — keeping as much data as
+    the binding group allows. Given integer target weights per group, the
+    maximal feasible total is set by the scarcest group relative to its
+    weight (that group keeps ~everything); every other group is
+    deterministically downsampled via the ``md5(id‖salt)`` hex draw so
+    expected output counts are proportional to the weights. Groups absent
+    from ``targets`` (or with weight 0) are dropped.
+
+    All arithmetic is integer-exact and distributed: per-group counts (one
+    TINY agg on ``group_col``), the feasibility scalar ``T = min_g(c_g·D
+    div w_g)`` (D = Σweights), and the keep test as a cross-multiplied
+    DECIMAL(38,0) comparison ``draw·D·c_g < w_g·T·2³²`` — no division of
+    the draw side, no floats, so any engine replaying the same md5 draw
+    reproduces the EXACT row set (oracle-checked; DuckDB replays it in
+    HUGEINT). The corpus itself never shuffles: the per-group constants
+    come back via a broadcast join, and the filter runs in the scan's
+    codegen span. Bounds: exact while ``2³²·D·c_g < 10³⁸`` (i.e. any
+    conceivable corpus).
+    """
+    tgts = {g: int(w) for g, w in targets.items() if int(w) > 0}
+    if not tgts:
+        raise ValueError("targets must contain at least one positive weight")
+    denom = sum(tgts.values())
+    wcol = F.lit(None).cast("long")
+    for g, w in sorted(tgts.items()):
+        wcol = F.when(F.col(group_col) == g, F.lit(w).cast("long")).otherwise(wcol)
+    base = df.withColumn("_w", wcol).filter(F.col("_w").isNotNull())
+    counts = base.groupBy(group_col, "_w").agg(F.count("*").alias("_c"))
+    t_scalar = counts.agg(
+        F.min(F.expr(f"_c * {denom} div _w")).cast("long").alias("_T")
+    )
+    consts = counts.crossJoin(t_scalar)
+    dec = "decimal(38,0)"
+    draw = hex_to_long(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 8)
+    return (
+        base.join(F.broadcast(consts), [group_col, "_w"])
+        .filter(
+            draw.cast(dec) * F.lit(denom).cast(dec) * F.col("_c").cast(dec)
+            < F.col("_w").cast(dec)
+            * F.col("_T").cast(dec)
+            * F.lit(1 << 32).cast(dec)
+        )
+        .select(*df.columns)
+    )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every row
+    gets ``shuffle_rank`` (0-based long), its position in the corpus
+    ordered by ``md5(id‖salt)`` (ties broken by id). The permutation is a
+    pure function of ids and the salt — identical across runs,
+    partitionings, and engines; a new ``salt`` is an independent
+    reshuffle. Feed the result to a range-partitioned writer and the
+    corpus streams out in shuffled order.
+
+    Scale shape (the ``crawl_order`` two-level ranking, plans/round.py):
+    NO global window. Rows rank locally within ``16^prefix_chars`` draw-
+    prefix buckets (bucket order == global draw order, so bucket offsets
+    are exclusive prefix sums of the TINY per-bucket counts table), then
+    ``rank = bucket_offset + local_rank``. One exchange on the bucket key;
+    raise ``prefix_chars`` so buckets ≪ executor memory (3 hex chars =
+    4096 buckets ≈ 24 GB/bucket at 10^11 rows × 1 KB)."""
+    if not 1 <= prefix_chars <= 8:
+        raise ValueError(f"prefix_chars must be in [1, 8], got {prefix_chars}")
+    draw = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    t = df.withColumn("_draw", draw).withColumn(
+        "_bucket", hex_to_long(F.col("_draw"), prefix_chars)
+    )
+    w_local = Window.partitionBy("_bucket").orderBy("_draw", id_col)
+    t = t.withColumn("_rn", F.row_number().over(w_local).cast("long"))
+    w_buckets = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        t.groupBy("_bucket")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_n").over(w_buckets), F.lit(0)).cast("long")
+        )
+        .select("_bucket", "_off")
+    )
+    return (
+        t.join(F.broadcast(offsets), "_bucket")
+        .select(
+            *df.columns,
+            (F.col("_off") + F.col("_rn") - 1).cast("long").alias("shuffle_rank"),
+        )
+    )

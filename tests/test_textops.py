@@ -1302,3 +1302,189 @@ class TestHashedLinearScore:
         plan = textops.hashed_linear_score(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def _src_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+class TestPackSequences:
+    def _mixed(self, spark):
+        texts = [" ".join(f"t{i}_{j}" for j in range((i * 7) % 23)) for i in range(40)]
+        return _docs_df(spark, texts)
+
+    def test_matches_brute_force_concat_and_split(self, spark):
+        df = self._mixed(spark)
+        got = {
+            (r["doc_id"], r["seq_id"]): (
+                r["seq_pos"], r["doc_tok_start"], r["piece_tokens"]
+            )
+            for r in textops.pack_sequences(df, seq_tokens=10).collect()
+        }
+        stream = [
+            (i, k)
+            for i, t, in [(r["doc_id"], r["text"]) for r in df.collect()]
+            for k, _ in enumerate(t.split())
+        ]
+        exp = {}
+        for pos, (i, k) in enumerate(stream):
+            key = (i, pos // 10)
+            if key not in exp:
+                exp[key] = [pos % 10, k, 0]
+            exp[key][2] += 1
+        assert got == {k: tuple(v) for k, v in exp.items()}
+
+    def test_pieces_partition_each_doc_and_fill_sequences(self, spark):
+        df = self._mixed(spark)
+        rows = textops.pack_sequences(df, seq_tokens=16).collect()
+        # per doc: pieces tile [0, n_tokens) contiguously
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for did, ps in by_doc.items():
+            ps.sort(key=lambda r: r["doc_tok_start"])
+            assert ps[0]["doc_tok_start"] == 0
+            for a, b in zip(ps, ps[1:]):
+                assert a["doc_tok_start"] + a["piece_tokens"] == b["doc_tok_start"]
+            assert ps[-1]["doc_tok_start"] + ps[-1]["piece_tokens"] == ps[0]["n_tokens"]
+        # per sequence: every sequence but the last holds exactly seq_tokens
+        seq_tot = {}
+        for r in rows:
+            seq_tot[r["seq_id"]] = seq_tot.get(r["seq_id"], 0) + r["piece_tokens"]
+        last = max(seq_tot)
+        assert set(seq_tot) == set(range(last + 1))
+        assert all(seq_tot[s] == 16 for s in range(last))
+        assert 0 < seq_tot[last] <= 16
+
+    def test_slice_path_identity(self, spark):
+        df = self._mixed(spark)
+        base = sorted(map(tuple, textops.pack_sequences(df, seq_tokens=10).collect()))
+        for sl in (1, 7, 64):
+            sliced = textops.pack_sequences(df, seq_tokens=10, slice_size=sl)
+            assert sorted(map(tuple, sliced.collect())) == base
+
+    def test_grouped_packing_is_per_group(self, spark):
+        rows = [(i, "w " * 5, f"s{i % 2}") for i in range(6)]
+        df = _src_df(spark, rows)
+        out = textops.pack_sequences(df, seq_tokens=8, group_col="source").collect()
+        # 3 docs x 5 tokens per group -> seqs 0 and 1 in EACH group
+        per_group = {}
+        for r in out:
+            per_group.setdefault(r["source"], set()).add(r["seq_id"])
+        assert per_group == {"s0": {0, 1}, "s1": {0, 1}}
+
+    def test_empty_docs_dropped_and_validation(self, spark):
+        df = _docs_df(spark, ["", "  ", "a b"])
+        out = textops.pack_sequences(df, seq_tokens=4).collect()
+        assert [r["doc_id"] for r in out] == [2]
+        with pytest.raises(ValueError):
+            textops.pack_sequences(df, seq_tokens=0)
+        with pytest.raises(ValueError):
+            textops.pack_sequences(df, seq_tokens=4, slice_size=0)
+
+    def test_precounted_token_col(self, spark):
+        df = _docs_df(spark, ["a b c", "d e"]).withColumn(
+            "n", F.size(F.split("text", " "))
+        )
+        out = textops.pack_sequences(df, seq_tokens=4, token_col="n").collect()
+        assert sum(r["piece_tokens"] for r in out) == 5
+
+
+class TestRebalanceCorpus:
+    def _corpus(self, spark):
+        rows = [(i, f"text {i}", f"src{i % 3}") for i in range(90)]
+        return _src_df(spark, rows)
+
+    def test_matches_md5_brute_force_exactly(self, spark):
+        import hashlib
+        df = self._corpus(spark)
+        tg = {"src0": 3, "src1": 1}
+        got = sorted(r["doc_id"] for r in
+                     textops.rebalance_corpus(df, tg, salt="s").collect())
+        cnt = {"src0": 30, "src1": 30}
+        D = 4
+        T = min(cnt[g] * D // tg[g] for g in tg)
+        exp = []
+        for i in range(90):
+            g = f"src{i % 3}"
+            if g not in tg:
+                continue
+            d = int(hashlib.md5(f"{i}s".encode()).hexdigest()[:8], 16)
+            if d * D * cnt[g] < tg[g] * T * (1 << 32):
+                exp.append(i)
+        assert got == sorted(exp)
+
+    def test_binding_group_kept_whole_and_mixture_matches(self, spark):
+        # binding group (weight large relative to its count) keeps ~all rows
+        rows = [(i, "t", "rare" if i < 40 else "common") for i in range(4000)]
+        df = _src_df(spark, rows)
+        out = textops.rebalance_corpus(df, {"rare": 1, "common": 1}).collect()
+        by = {}
+        for r in out:
+            by[r["source"]] = by.get(r["source"], 0) + 1
+        assert by["rare"] == 40  # scarce side is the constraint: kept whole
+        # equal weights -> common downsampled to ~40 (binomial, wide margin)
+        assert 20 <= by["common"] <= 60
+
+    def test_untargeted_groups_dropped_and_validation(self, spark):
+        df = self._corpus(spark)
+        out = textops.rebalance_corpus(df, {"src0": 1, "src2": 0})
+        assert {r["source"] for r in out.collect()} == {"src0"}
+        with pytest.raises(ValueError):
+            textops.rebalance_corpus(df, {"src0": 0})
+
+    def test_deterministic_and_stable_under_repartition(self, spark):
+        df = self._corpus(spark)
+        tg = {"src0": 2, "src1": 3, "src2": 5}
+        a = sorted(r["doc_id"] for r in textops.rebalance_corpus(df, tg).collect())
+        b = sorted(r["doc_id"] for r in
+                   textops.rebalance_corpus(df.repartition(13), tg).collect())
+        assert a == b and len(a) > 0
+
+    def test_schema_unchanged(self, spark):
+        df = self._corpus(spark)
+        out = textops.rebalance_corpus(df, {"src0": 1})
+        assert out.columns == df.columns
+
+
+class TestCorpusShuffle:
+    def test_matches_global_md5_order(self, spark):
+        import hashlib
+        df = _docs_df(spark, [f"d{i}" for i in range(64)])
+        got = {r["doc_id"]: r["shuffle_rank"]
+               for r in textops.corpus_shuffle(df, salt="z").collect()}
+        order = sorted(range(64),
+                       key=lambda i: (hashlib.md5(f"{i}z".encode()).hexdigest(), i))
+        assert got == {i: r for r, i in enumerate(order)}
+
+    def test_permutation_and_repartition_stability(self, spark):
+        df = _docs_df(spark, [f"d{i}" for i in range(100)])
+        a = textops.corpus_shuffle(df, salt="q")
+        ranks = sorted(r["shuffle_rank"] for r in a.collect())
+        assert ranks == list(range(100))
+        b = textops.corpus_shuffle(df.repartition(9), salt="q")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_salt_changes_permutation(self, spark):
+        df = _docs_df(spark, [f"d{i}" for i in range(50)])
+        a = {r["doc_id"]: r["shuffle_rank"]
+             for r in textops.corpus_shuffle(df, salt="a").collect()}
+        b = {r["doc_id"]: r["shuffle_rank"]
+             for r in textops.corpus_shuffle(df, salt="b").collect()}
+        assert a != b
+
+    def test_prefix_chars_identity_and_validation(self, spark):
+        df = _docs_df(spark, [f"d{i}" for i in range(80)])
+        a = sorted(map(tuple, textops.corpus_shuffle(df, prefix_chars=1).collect()))
+        b = sorted(map(tuple, textops.corpus_shuffle(df, prefix_chars=3).collect()))
+        assert a == b
+        with pytest.raises(ValueError):
+            textops.corpus_shuffle(df, prefix_chars=0)
+
+    def test_no_global_window(self, spark):
+        # the corpus-sized window partitions on _bucket; the only
+        # partition-by-constant window runs over the tiny counts table
+        df = _docs_df(spark, [f"d{i}" for i in range(10)])
+        plan = textops.corpus_shuffle(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "_bucket" in plan.split("Window")[1]
