@@ -1246,6 +1246,49 @@ def q_hashed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.hashed_linear_score(d.select("doc_id", "text"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-split sequence packing (textops.pack_sequences):
+    docs laid end to end in doc_id order, the token stream cut every 32
+    tokens across doc boundaries, emitted as the (doc, sequence) piece
+    manifest. Uses the slice-local running-sum path (slice_size=64) — the
+    scale shape — while the oracle replays the semantics directly with one
+    global window cumsum + generate_series over the crossed bins; the
+    identity between the two IS the slice-path correctness check, run
+    cross-engine. Integer arithmetic throughout."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.pack_sequences(
+        d.select("doc_id", "text"), seq_tokens=32, slice_size=64
+    )
+
+
+def q_rebalance_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture rebalancing (textops.rebalance_corpus): even-numbered
+    sources weighted 3, odd-numbered 1; the scarcest group relative to its
+    weight binds, everything else downsamples via the md5 draw. The keep
+    test is the cross-multiplied integer comparison draw·D·c < w·T·2³²
+    (DECIMAL(38,0) in Spark), which the oracle replays in HUGEINT from
+    its own counts CTE — same md5, same integers, exact row-set equality."""
+    d = _read(spark, sf_dir, "documents")
+    sources = sorted(r["source"] for r in d.select("source").distinct().collect())
+    targets = {
+        s: 3 if int(s.removeprefix("src")) % 2 == 0 else 1 for s in sources
+    }
+    return textops.rebalance_corpus(
+        d.select("doc_id", "source"), targets, salt="r5mix"
+    )
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle rank (textops.corpus_shuffle): position
+    in md5(id‖salt) order, computed WITHOUT a global window (draw-prefix
+    bucket ranks + tiny offsets table — the crawl_order two-level design).
+    The oracle computes the same permutation the naive way (one global
+    row_number) — the equality pins that the distributed ranking matches
+    the sequential definition."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.corpus_shuffle(d.select("doc_id"), salt="r5sh")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_cutter": q_frontier_cutter,
@@ -1290,6 +1333,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "unicode_nfc": q_unicode_nfc,
         "hashed_quality": q_hashed_quality,
+        "pack_sequences": q_pack_sequences,
+        "rebalance_mixture": q_rebalance_mixture,
+        "corpus_shuffle": q_corpus_shuffle,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -1877,6 +1923,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, CAST(len(toks) AS INT) AS n_tokens_scored,
                    score_sum, CAST(score_sum > 0 AS INT) AS keep_int
             FROM s
+        """,
+        # one global window cumsum + generate_series over crossed bins —
+        # the sequential definition the slice-local Spark path must match
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex({_NORM_SQL}, '\\s+'),
+                                     x -> x != '')) AS n_tokens
+              FROM documents),
+            nz AS (SELECT * FROM t WHERE n_tokens > 0),
+            c AS (SELECT doc_id, n_tokens,
+                         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS cum
+                  FROM nz),
+            s AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS gs,
+                         unnest(generate_series((cum - n_tokens) // 32,
+                                                (cum - 1) // 32)) AS seq_id
+                  FROM c)
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(greatest(gs, seq_id * 32) - seq_id * 32 AS BIGINT)
+                     AS seq_pos,
+                   CAST(greatest(gs, seq_id * 32) - gs AS BIGINT)
+                     AS doc_tok_start,
+                   CAST(least(cum, (seq_id + 1) * 32)
+                        - greatest(gs, seq_id * 32) AS BIGINT) AS piece_tokens
+            FROM s
+        """,
+        # same md5 draw, same integer feasibility math (T = min(c*D div w)),
+        # keep test replayed as the HUGEINT cross-multiplied comparison
+        "rebalance_mixture": """
+            WITH w AS (
+              SELECT source,
+                     CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+                          THEN 3 ELSE 1 END AS wt,
+                     COUNT(*) AS c
+              FROM documents GROUP BY source),
+            dd AS (SELECT SUM(wt) AS d FROM w),
+            tt AS (SELECT MIN(c * (SELECT d FROM dd) // wt) AS t FROM w)
+            SELECT doc_id, source
+            FROM documents JOIN w USING (source)
+            WHERE ('0x' || substring(md5(CAST(doc_id AS STRING) || 'r5mix'),
+                                     1, 8))::BIGINT::HUGEINT
+                    * (SELECT d FROM dd) * c
+                  < wt::HUGEINT * (SELECT t FROM tt) * 4294967296
+        """,
+        # the sequential definition of the shuffle permutation — one global
+        # row_number the distributed two-level ranking must reproduce
+        "corpus_shuffle": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY md5(CAST(doc_id AS STRING) || 'r5sh'), doc_id)
+                     - 1 AS BIGINT) AS shuffle_rank
+            FROM documents
         """,
         "pii_redaction": pii_sql,
         # 5-gram shingles (same short-doc whole-text fallback as the Spark

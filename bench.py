@@ -31,6 +31,9 @@ Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
   paragraph_dedup        cross-document keep-first segment dedup
   incremental_dedup      new-snapshot screen vs the standing corpus
   chunk_docs             fixed-window training-sequence chunking (map-only)
+  pack_sequences         concatenate-and-split packing manifest (slice path)
+  corpus_shuffle         deterministic global shuffle rank (two-level, no
+                         global window)
   hashed_quality         hashing-trick linear quality model (JVM integer sum)
   unicode_nfc            NFC normalization (one Arrow stage)
   embedding_knn          brute-force cosine top-10, 5 queries x embeddings
@@ -361,6 +364,18 @@ def main() -> None:
         "unicode_nfc",
         lambda: textops.normalize_unicode(docs)
         .agg(F.sum(F.length("nfc_text")), F.sum("nfc_text_changed_int"))
+        .first(),
+    )
+    timed(
+        "pack_sequences",
+        lambda: textops.pack_sequences(docs, seq_tokens=512, slice_size=2048)
+        .agg(F.sum("piece_tokens"), F.count("*"))
+        .first(),
+    )
+    timed(
+        "corpus_shuffle",
+        lambda: textops.corpus_shuffle(docs.select("doc_id"), salt="bench")
+        .agg(F.sum("shuffle_rank"), F.count("*"))
         .first(),
     )
 
