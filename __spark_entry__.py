@@ -1289,6 +1289,53 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.corpus_shuffle(d.select("doc_id"), salt="r5sh")
 
 
+def q_cdx_latest_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl index pipeline (sources/cdx.py): synthesize CDXJ lines
+    deterministically from the documents table (recrawl captures: ~12
+    doc_ids map to each URL via ``doc_id % 400``; every 17th capture a
+    404), then run the REAL path under test — ``surt_key_col`` →
+    ``parse_cdx_lines`` (limit-3 split, JSON payload, ts14) → status
+    filter → ``latest_captures`` recrawl dedup. The oracle rebuilds the
+    lines independently (its own SURT/string primitives) and replays the
+    parse with DuckDB's split_part/json_extract_string/strptime — so the
+    limit-split semantics, JSON extraction, timestamp round-trip, and the
+    keep-newest window are all checked cross-engine. ``fetch_ts`` is
+    emitted as the ts14 string via ``date_format`` (parse∘format is the
+    identity in any fixed session timezone)."""
+    from bbcrawl_spark.sources import cdx
+
+    d = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://www."), F.col("source"), F.lit(".example.com/doc/"),
+        (doc_id % 400).cast("string"),
+    )
+    ts14 = F.concat(
+        F.lit("202401"),
+        F.lpad(((doc_id % 28) + 1).cast("string"), 2, "0"),
+        F.lpad((doc_id % 24).cast("string"), 2, "0"),
+        F.lpad(((doc_id * 7) % 60).cast("string"), 2, "0"),
+        F.lit("00"),
+    )
+    status = F.when(doc_id % 17 == 0, F.lit("404")).otherwise(F.lit("200"))
+    line = F.concat(
+        cdx.surt_key_col(url), F.lit(" "), ts14,
+        F.lit(' {"url": "'), url,
+        F.lit('", "mime": "text/html", "status": "'), status,
+        F.lit('", "digest": "sha1:'), F.upper(F.md5(F.col("text").cast("binary"))),
+        F.lit('", "length": "'), F.col("n_chars").cast("string"),
+        F.lit('", "offset": "'), (doc_id * 1000).cast("string"),
+        F.lit('", "filename": "crawl-'), F.col("source"), F.lit('.warc.gz"}'),
+    )
+    parsed = cdx.parse_cdx_lines(d.select(line.alias("line")))
+    kept = cdx.latest_captures(parsed.filter(F.col("status") == 200))
+    return kept.select(
+        "surt", "url",
+        F.date_format("fetch_ts", "yyyyMMddHHmmss").alias("ts14"),
+        "digest", "warc_filename", "warc_offset", "warc_length",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_cutter": q_frontier_cutter,
@@ -1336,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "rebalance_mixture": q_rebalance_mixture,
         "corpus_shuffle": q_corpus_shuffle,
+        "cdx_latest_captures": q_cdx_latest_captures,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -1979,6 +2027,73 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(CAST(doc_id AS STRING) || 'r5sh'), doc_id)
                      - 1 AS BIGINT) AS shuffle_rank
             FROM documents
+        """,
+        # CDXJ lines rebuilt with DuckDB's own primitives (the SURT here
+        # replays the host-reverse/path form these portless, userinfo-free
+        # URLs exercise — the full port/userinfo/default-port branches are
+        # pinned in tests/test_cdx.py), then PARSED back independently:
+        # split_part for the two head fields + a length-offset substring
+        # for the JSON (DuckDB has no limit-split), json_extract_string,
+        # strptime/strftime for the ts14 round-trip, and the keep-newest
+        # window — every stage of the Spark path cross-checked
+        "cdx_latest_captures": """
+            WITH u AS (
+              SELECT doc_id, text, source, n_chars,
+                     'http://www.' || source || '.example.com/doc/'
+                       || CAST(doc_id % 400 AS VARCHAR) AS url,
+                     '202401'
+                       || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                       || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                       || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+                       || '00' AS ts14,
+                     CASE WHEN doc_id % 17 = 0 THEN '404' ELSE '200' END
+                       AS status
+              FROM documents),
+            lines AS (
+              SELECT array_to_string(list_reverse(string_split(
+                       lower(regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)), '.')), ',')
+                     || ')'
+                     || regexp_extract(url,
+                          '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^#]*)', 1)
+                     || ' ' || ts14
+                     || ' {"url": "' || url
+                     || '", "mime": "text/html", "status": "' || status
+                     || '", "digest": "sha1:' || upper(md5(text))
+                     || '", "length": "' || CAST(n_chars AS VARCHAR)
+                     || '", "offset": "' || CAST(doc_id * 1000 AS VARCHAR)
+                     || '", "filename": "crawl-' || source || '.warc.gz"}'
+                     AS line
+              FROM u),
+            p AS (
+              SELECT split_part(line, ' ', 1) AS surt,
+                     strptime(split_part(line, ' ', 2), '%Y%m%d%H%M%S')
+                       AS fetch_ts,
+                     substring(line, len(split_part(line, ' ', 1))
+                                     + len(split_part(line, ' ', 2)) + 3)
+                       AS js
+              FROM lines),
+            q AS (
+              SELECT surt, fetch_ts,
+                     json_extract_string(js, '$.url') AS url,
+                     CAST(json_extract_string(js, '$.status') AS INT)
+                       AS status,
+                     json_extract_string(js, '$.digest') AS digest,
+                     json_extract_string(js, '$.filename') AS warc_filename,
+                     CAST(json_extract_string(js, '$.offset') AS BIGINT)
+                       AS warc_offset,
+                     CAST(json_extract_string(js, '$.length') AS BIGINT)
+                       AS warc_length
+              FROM p),
+            k AS (
+              SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY surt
+                       ORDER BY fetch_ts DESC, warc_offset DESC,
+                                warc_filename DESC) AS rn
+              FROM q WHERE status = 200)
+            SELECT surt, url, strftime(fetch_ts, '%Y%m%d%H%M%S') AS ts14,
+                   digest, warc_filename, warc_offset, warc_length
+            FROM k WHERE rn = 1
         """,
         "pii_redaction": pii_sql,
         # 5-gram shingles (same short-doc whole-text fallback as the Spark

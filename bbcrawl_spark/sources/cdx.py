@@ -1,0 +1,145 @@
+"""Common Crawl CDX(J) index source — seed frontiers and pick captures
+without touching a single WARC byte.
+
+Common Crawl publishes a per-dump URL index (``cc-index``): ~300 gzipped
+text shards of CDXJ lines, each line
+
+    ``<SURT key> <14-digit timestamp> <JSON payload>``
+
+e.g. ``com,example)/path?q=1 20240101123000 {"url": "http://example.com/
+path?q=1", "mime": "text/html", "status": "200", "digest": "sha1:...",
+"length": "1234", "offset": "5678", "filename": "...warc.gz"}``.
+
+At 100-TB scale the index is how a crawl plans: dedup recrawls by SURT,
+filter by status/mime, then fetch only the chosen ``(filename, offset,
+length)`` ranges. Everything here is pure JVM column expressions —
+``split`` with a limit for the two space-delimited head fields,
+``get_json_object`` for the payload, ``try_to_timestamp`` for the
+timestamp — so parsing ~10^10 index lines stays inside whole-stage
+codegen with zero Python.
+
+Reference tie-in: the reference engine seeds from explicit URL lists
+(`/root/reference/libcrawl/dispatcher.go` consumes seed addresses); this
+module is the Common-Crawl-native seeding path the ``input_hint``'s
+"Common-Crawl-style pages" table implies, feeding the same frontier
+operators (canonicalize → url_hash → seen/politeness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "surt_key_col",
+    "parse_cdx_lines",
+    "read_cdx",
+    "latest_captures",
+]
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*):"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATHQ_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)"
+
+
+def surt_key_col(url: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of a URL as a pure
+    JVM column expression: lowercased host split on ``.`` and reversed into
+    a comma-joined key, non-default port kept after a ``:``, then ``)`` +
+    path?query with the fragment dropped and an empty path folded to ``/``.
+
+    ``http://www.Example.com/a/b?q=1#f`` → ``com,example,www)/a/b?q=1``
+    ``https://example.com:8443/`` → ``com,example:8443)/``
+
+    Scheme and userinfo are dropped and default ports (http:80, https:443)
+    removed, per the CDX convention — so http/https recrawls of the same
+    page share a key. The regexes are in the Java∩RE2 dialect (the
+    ``redact_pii`` rule) so a DuckDB oracle can replay them verbatim.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    # userinfo ("user:pass@host") dropped
+    hostport = F.regexp_replace(hostport, r"^[^/?#@]*@", "")
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    port = (
+        F.when((scheme == "http") & (port == "80"), F.lit(""))
+        .when((scheme == "https") & (port == "443"), F.lit(""))
+        .otherwise(port)
+    )
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    pathq = F.regexp_extract(url, _PATHQ_RE, 1)
+    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    return F.concat(
+        rev_host,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
+        pathq,
+    )
+
+
+def parse_cdx_lines(df: DataFrame, col: str = "line") -> DataFrame:
+    """Parse CDXJ index lines into typed capture rows.
+
+    Output: ``(surt, fetch_ts, url, status, mime, digest, warc_filename,
+    warc_offset, warc_length)``. The head is split with a LIMIT of 3 so
+    spaces inside the JSON payload (every CDXJ line has them after the
+    ``": "`` separators) stay intact; the payload fields come out via
+    ``get_json_object``; malformed timestamps / numerics become NULL via
+    the ``try_``/safe-cast forms rather than failing a 10^10-line scan
+    under ANSI mode. All JVM, no Python.
+    """
+    parts = F.split(F.col(col), " ", 3)
+    # try_element_at, not element_at: a malformed line with <3 fields must
+    # become a NULL row, not an ANSI INVALID_ARRAY_INDEX abort of the scan
+    js = F.try_element_at(parts, F.lit(3))
+    return df.select(
+        F.try_element_at(parts, F.lit(1)).alias("surt"),
+        F.try_to_timestamp(
+            F.try_element_at(parts, F.lit(2)), F.lit("yyyyMMddHHmmss")
+        ).alias("fetch_ts"),
+        F.get_json_object(js, "$.url").alias("url"),
+        F.get_json_object(js, "$.status").try_cast("int").alias("status"),
+        F.get_json_object(js, "$.mime").alias("mime"),
+        F.get_json_object(js, "$.digest").alias("digest"),
+        F.get_json_object(js, "$.filename").alias("warc_filename"),
+        F.get_json_object(js, "$.offset").try_cast("long").alias("warc_offset"),
+        F.get_json_object(js, "$.length").try_cast("long").alias("warc_length"),
+    )
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Read CDX(J) index shards under ``path`` (plain or ``.gz`` — Spark's
+    text source decompresses by extension) into parsed capture rows.
+
+    Gzipped shards are not splittable, but Common Crawl ships ~300 shards
+    per dump (~1 GB each), so file-level parallelism is the natural
+    partitioning — the same shape as the WARC segment readers. Blank lines
+    are dropped; anything else flows through :func:`parse_cdx_lines`'s
+    NULL-on-malformed contract.
+    """
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    return parse_cdx_lines(lines.filter(F.col("line") != ""), "line")
+
+
+def latest_captures(df: DataFrame) -> DataFrame:
+    """Keep the newest capture per SURT key — the standard CDX recrawl
+    dedup that decides which single WARC range to fetch per page. Ties
+    (same ``fetch_ts``) break on ``warc_offset`` then ``warc_filename``
+    descending so reruns are deterministic. ONE hash exchange on the
+    8-to-~60-byte surt key; at 10^10 captures per dump this is the
+    index-side analogue of ``read_warc_pages``'s keep-last window and
+    shares its skew profile (hot SURTs are single pages recrawled often —
+    bounded per-dump, no salting needed).
+    """
+    w = Window.partitionBy("surt").orderBy(
+        F.col("fetch_ts").desc_nulls_last(),
+        F.col("warc_offset").desc_nulls_last(),
+        F.col("warc_filename").desc_nulls_last(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -17,6 +17,10 @@ Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
   warc_ingest_stream     streamed WARC ingest from paths (16 gz segments x
                          500 pages; workers stream records, scan ships
                          paths only)
+  wet_ingest_stream      streamed WET ingest (8 gz segments x 500 texts;
+                         conversion records -> (url, ts, text))
+  cdx_latest             CDX index pipeline: 20 captures/doc -> CDXJ parse
+                         (limit-3 split + JSON) -> keep-newest-per-SURT
   exact_dedup_docs       hash-window dedup over documents
   minhash_dedup          MinHash+LSH near-dup dedup over documents
                          (round-3: transitively correct via cluster resolution)
@@ -236,6 +240,33 @@ def main() -> None:
         n_warc_pages / timings["warc_ingest_stream"], 1
     )
 
+    # --- WET ingest (pre-extracted text, conversion records) --------------
+    # 8 gzipped WET segments x 500 documents-table texts; same streamed
+    # path-pruned core as the WARC row, minus HTTP splitting.
+    wet_dir = tempfile.mkdtemp(prefix="bench_wet_")
+    wet_texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text").limit(500).collect()
+    ]
+    N_WET_SEG = 8
+    for i in range(N_WET_SEG):
+        recs = [
+            (f"http://wet{i}.example.com/d/{j}", "2024-01-01T00:00:00Z", t)
+            for j, t in enumerate(wet_texts)
+        ]
+        with open(os.path.join(wet_dir, f"seg{i}.warc.wet.gz"), "wb") as fh:
+            fh.write(warc_src.build_wet(recs, gzipped=True))
+    n_wet_docs = N_WET_SEG * len(wet_texts)
+
+    def wet_ingest():
+        assert warc_src.read_wet_text(spark, wet_dir).count() == n_wet_docs
+
+    timed("wet_ingest_stream", wet_ingest)
+    extras["wet_ingest_docs_per_sec"] = round(
+        n_wet_docs / timings["wet_ingest_stream"], 1
+    )
+
     # --- corpus ops over the sf tables -------------------------------------
     # single parquet file -> 1-2 input partitions; spread UDF work
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
@@ -377,6 +408,48 @@ def main() -> None:
         lambda: textops.corpus_shuffle(docs.select("doc_id"), salt="bench")
         .agg(F.sum("shuffle_rank"), F.count("*"))
         .first(),
+    )
+
+    # --- CDX index pipeline: parse + recrawl dedup ------------------------
+    # 20 synthetic captures per doc -> CDXJ lines built JVM-side (same
+    # concat shape as frontier_gen), then the path under test: limit-3
+    # split + JSON extraction + keep-newest-per-SURT window.
+    from bbcrawl_spark.sources import cdx as cdx_src
+
+    n_cdx_docs = docs.count()
+
+    def cdx_latest():
+        caps = docs.select("doc_id", "source").withColumn(
+            "cap", F.explode(F.sequence(F.lit(0), F.lit(19)))
+        )
+        doc_id, cap = F.col("doc_id"), F.col("cap")
+        url = F.concat(
+            F.lit("http://www."), F.col("source"), F.lit(".example.com/doc/"),
+            doc_id.cast("string"),
+        )
+        ts14 = F.concat(
+            F.lit("2024"),
+            F.lpad(((cap % 12) + 1).cast("string"), 2, "0"),
+            F.lpad(((doc_id % 28) + 1).cast("string"), 2, "0"),
+            F.lpad(((cap * 7) % 24).cast("string"), 2, "0"),
+            F.lit("0000"),
+        )
+        line = F.concat(
+            cdx_src.surt_key_col(url), F.lit(" "), ts14,
+            F.lit(' {"url": "'), url,
+            F.lit('", "status": "200", "offset": "'),
+            (doc_id * 100 + cap).cast("string"),
+            F.lit('", "filename": "crawl-'), F.col("source"),
+            F.lit('.warc.gz"}'),
+        )
+        out = cdx_src.latest_captures(
+            cdx_src.parse_cdx_lines(caps.select(line.alias("line")))
+        )
+        assert out.count() == n_cdx_docs
+
+    timed("cdx_latest", cdx_latest)
+    extras["cdx_lines_per_sec"] = round(
+        n_cdx_docs * 20 / timings["cdx_latest"], 1
     )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
