@@ -70,7 +70,13 @@ def surt_key_col(url: Column | str) -> Column:
     )
     rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     pathq = F.regexp_extract(url, _PATHQ_RE, 1)
-    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    # empty path folds to "/" — also when a query follows the authority
+    # directly ("http://h?q=1" → ")/?q=1"), per the CDX convention
+    pathq = (
+        F.when(pathq == "", F.lit("/"))
+        .when(pathq.startswith("?"), F.concat(F.lit("/"), pathq))
+        .otherwise(pathq)
+    )
     return F.concat(
         rev_host,
         F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),

@@ -63,6 +63,7 @@ class TestSurtKey:
         ("http://example.com", "com,example)/"),            # empty path -> /
         ("http://user:pw@sub.ex.com/x", "com,ex,sub)/x"),   # userinfo dropped
         ("http://EX.com/Case/Kept?Q=V", "com,ex)/Case/Kept?Q=V"),
+        ("http://example.com?q=1", "com,example)/?q=1"),  # query, no path
     ]
 
     def test_expected_keys(self, spark):
