@@ -26,6 +26,7 @@ from bbcrawl_spark import pagers
 from bbcrawl_spark.functions import udfs
 from bbcrawl_spark.operators import (
     graphops,
+    linkgraph,
     politeness,
     priority,
     similarity,
@@ -1336,6 +1337,145 @@ def q_cdx_latest_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- link-graph ops ---------------------------------------------------------
+
+#: deterministic synthetic link extraction built from the events table —
+#: (page_url, link_url, anchor_text) rows for the link-graph operators.
+#: Shape: every user is a forum host; 1/6 of links are same-host pagination
+#: (dropped by host_edges), 1/6 same-host with case/port variation (also
+#: dropped after canonical host fold), the rest fan out to a neighbor ring,
+#: a hub everyone cites, a small CDN pool, and a modular forum subset.
+#: hub/cdn/over-range forum hosts never appear as sources — DANGLING nodes,
+#: exercising PageRank's dangling-mass redistribution.
+_LINK_SRC_SQL = (
+    "'http://forum' || CAST(user_id AS STRING) || '.example.com/t' "
+    "|| CAST(event_id % 40 AS STRING)"
+)
+_LINK_DST_SQL = (
+    "CASE CAST(event_id % 6 AS INT) "
+    " WHEN 0 THEN 'http://forum' || CAST(user_id AS STRING) || '.example.com/t' "
+    "   || CAST(event_id % 40 AS STRING) || '/page2' "
+    " WHEN 1 THEN 'http://forum' || CAST(user_id + 1 + (event_id % 5) AS STRING) "
+    "   || '.example.com/t' || CAST(event_id % 40 AS STRING) "
+    " WHEN 2 THEN 'http://hub.example.com/index' "
+    " WHEN 3 THEN 'http://cdn' || CAST(event_id % 5 AS STRING) "
+    "   || '.example.net:8080/i' || CAST(event_id % 9 AS STRING) || '.jpg' "
+    " WHEN 4 THEN 'http://forum' || CAST(event_id % 23 AS STRING) || '.example.com/t0' "
+    " ELSE 'HTTPS://Forum' || CAST(user_id AS STRING) || '.Example.com:443/about' "
+    "END"
+)
+_ANCHOR_SQL = (
+    "CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'next page' WHEN 1 THEN 'click here' "
+    "WHEN 2 THEN 'Thread ' || CAST(event_id % 40 AS STRING) ELSE 'home' END"
+)
+_LINK_CTE = (
+    f"WITH l AS (SELECT event_id, user_id, {_LINK_SRC_SQL} AS page_url, "
+    f"{_LINK_DST_SQL} AS link_url, {_ANCHOR_SQL} AS anchor_text FROM events)"
+)
+
+#: DuckDB twin of linkgraph.host_of_url (same regexes, 'g' flag per dialect)
+def _host_sql(col: str) -> str:
+    return linkgraph.HOST_SQL.format(col=col).replace(
+        "':[0-9]+$', ''", "':[0-9]+$', '', 'g'"
+    )
+
+
+#: shared DuckDB CTE tail producing ``he(src_host, dst_host, weight)`` —
+#: the host_edges twin over the synthesized links
+_HOST_EDGE_CTE = f""",
+        hx AS (SELECT {_host_sql('page_url')} AS src_host,
+                      {_host_sql('link_url')} AS dst_host FROM l),
+        he AS (SELECT src_host, dst_host, COUNT(*) AS weight FROM hx
+               WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+               GROUP BY src_host, dst_host)"""
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled-CTE DuckDB replay of linkgraph.pagerank's INTEGER
+    recurrence — one (contrib, dangling, rank) CTE triple per iteration,
+    bit-exact against the Spark loop because every step is integer
+    division (Spark ``div`` == DuckDB ``//`` on non-negative bigints)."""
+    base = "(SELECT 1000000000000 // n FROM nn)"
+    n = "(SELECT n FROM nn)"
+    ctes = [
+        "ed AS (SELECT src_host AS s, dst_host AS d FROM he)",
+        "nodes AS (SELECT s AS h FROM ed UNION SELECT d FROM ed)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "od AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS od FROM ed GROUP BY s)",
+        f"r0 AS (SELECT h, CAST({base} AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(iterations):
+        ctes.append(
+            f"c{k} AS (SELECT ed.d AS h, CAST(SUM(r{k}.r // od.od) AS BIGINT) AS sum_c"
+            f" FROM ed JOIN r{k} ON r{k}.h = ed.s JOIN od ON od.s = ed.s"
+            f" GROUP BY ed.d)"
+        )
+        ctes.append(
+            f"g{k} AS (SELECT CAST(COALESCE(SUM(r{k}.r), 0) AS BIGINT) AS dang"
+            f" FROM r{k} LEFT JOIN od ON od.s = r{k}.h WHERE od.s IS NULL)"
+        )
+        ctes.append(
+            f"r{k + 1} AS (SELECT nodes.h, CAST((15 * {base} + 85 * "
+            f"(COALESCE(c{k}.sum_c, 0) + ((SELECT dang FROM g{k}) // {n})))"
+            f" // 100 AS BIGINT) AS r"
+            f" FROM nodes LEFT JOIN c{k} ON c{k}.h = nodes.h)"
+        )
+    body = ",\n            ".join(ctes)
+    return (
+        f"{_LINK_CTE}{_HOST_EDGE_CTE},\n            {body}\n"
+        f"            SELECT h AS host, r AS rank_scaled FROM r{iterations}"
+    )
+
+
+def _events_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_events_tmp")
+    return spark.sql(
+        f"SELECT event_id, user_id, {_LINK_SRC_SQL} AS page_url, "
+        f"{_LINK_DST_SQL} AS link_url, {_ANCHOR_SQL} AS anchor_text "
+        "FROM _events_tmp"
+    )
+
+
+def q_link_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph degree/volume stats (linkgraph.host_edges +
+    degree_stats): the in-link quality prior a curation pipeline joins
+    against and the out-link fanout the scheduler budgets by."""
+    e = linkgraph.host_edges(_events_links(spark, sf_dir))
+    return linkgraph.degree_stats(e)
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact fixed-iteration PageRank (linkgraph.pagerank, 5
+    rounds, d=0.85) over the host graph — bit-exact vs the oracle's
+    unrolled-CTE replay of the same integer recurrence, which is what
+    makes a graph ALGORITHM value-hash-checkable cross-engine."""
+    e = linkgraph.host_edges(_events_links(spark, sf_dir))
+    return linkgraph.pagerank(e, iterations=5)
+
+
+def q_crawl_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (linkgraph.crawl_trap_stats) over the
+    synthetic URL corpus: cdn hosts collapse ~25 URLs onto ONE digit
+    template (ratio 25x -> flagged); forum hosts keep 3 templates
+    (ratio <= ~20x -> clean). Thresholds chosen so both outcomes occur
+    at the gate's sf0.01 (non-vacuous both ways)."""
+    u = _events_urls(spark, sf_dir)
+    stats = linkgraph.crawl_trap_stats(
+        u, min_urls=10, ratio_e4_threshold=220_000
+    )
+    return stats.select(
+        "host", "n_urls", "n_templates", "ratio_e4",
+        F.col("is_trap").cast("int").alias("is_trap_int"),
+    )
+
+
+def q_anchor_text_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent anchor text per target host (linkgraph.top_anchor),
+    deterministic tie-break (count desc, anchor asc)."""
+    return linkgraph.top_anchor(_events_links(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_cutter": q_frontier_cutter,
@@ -1384,6 +1524,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_mixture": q_rebalance_mixture,
         "corpus_shuffle": q_corpus_shuffle,
         "cdx_latest_captures": q_cdx_latest_captures,
+        "link_graph_degrees": q_link_graph_degrees,
+        "pagerank_hosts": q_pagerank_hosts,
+        "crawl_trap_hosts": q_crawl_trap_hosts,
+        "anchor_text_top": q_anchor_text_top,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -2199,6 +2343,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_pred, COUNT(*) AS n_docs,
                    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
             FROM ded WHERE rn = 1 GROUP BY lang_pred
+        """,
+        "link_graph_degrees": f"""
+            {_LINK_CTE}{_HOST_EDGE_CTE}
+            SELECT host, CAST(SUM(od) AS BIGINT) AS out_degree,
+                   CAST(SUM(idg) AS BIGINT) AS in_degree,
+                   CAST(SUM(ow) AS BIGINT) AS out_links,
+                   CAST(SUM(iw) AS BIGINT) AS in_links
+            FROM (
+              SELECT src_host AS host, 1 AS od, 0 AS idg, weight AS ow, 0 AS iw
+              FROM he
+              UNION ALL
+              SELECT dst_host AS host, 0 AS od, 1 AS idg, 0 AS ow, weight AS iw
+              FROM he)
+            GROUP BY host
+        """,
+        "pagerank_hosts": _pagerank_oracle_sql(iterations=5),
+        "crawl_trap_hosts": f"""
+            {_URL_CTE},
+            h AS (SELECT {_host_sql('url')} AS host, url,
+                         regexp_replace(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^#]*)', 1),
+                           '[0-9]+', 'N', 'g') AS tpl
+                  FROM u),
+            g AS (SELECT host, COUNT(DISTINCT url) AS n_urls,
+                         COUNT(DISTINCT tpl) AS n_templates
+                  FROM h WHERE host <> '' GROUP BY host)
+            SELECT host, n_urls, n_templates,
+                   CAST(n_urls * 10000 // n_templates AS BIGINT) AS ratio_e4,
+                   CAST(CASE WHEN n_urls >= 10
+                              AND (n_urls * 10000 // n_templates) >= 220000
+                             THEN 1 ELSE 0 END AS INT) AS is_trap_int
+            FROM g
+        """,
+        "anchor_text_top": f"""
+            {_LINK_CTE},
+            ga AS (SELECT {_host_sql('link_url')} AS dst_host,
+                          anchor_text AS anchor FROM l),
+            gc AS (SELECT dst_host, anchor, COUNT(*) AS n_top FROM ga
+                   WHERE dst_host <> '' AND anchor <> ''
+                   GROUP BY dst_host, anchor),
+            w AS (SELECT dst_host, anchor, n_top,
+                         CAST(SUM(n_top) OVER (PARTITION BY dst_host) AS BIGINT)
+                           AS n_links,
+                         ROW_NUMBER() OVER (PARTITION BY dst_host
+                           ORDER BY n_top DESC, anchor ASC) AS rn
+                  FROM gc)
+            SELECT dst_host, anchor AS top_anchor, n_links, n_top
+            FROM w WHERE rn = 1
         """,
         "embedding_knn": """
             SELECT query_id, vec_id,

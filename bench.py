@@ -452,6 +452,54 @@ def main() -> None:
         n_cdx_docs * 20 / timings["cdx_latest"], 1
     )
 
+    # --- link graph: URL pairs -> host edges/degrees, then 5-iter PageRank
+    # 2M link extractions over a 5000-host space: link_graph_build measures
+    # the parse+aggregate funnel (URL pairs -> weighted host edges -> degree
+    # stats, all JVM regex + one exchange each); pagerank_hosts measures the
+    # iterative loop (2 shuffles/round x 5 rounds, checkpoint-pinned edges)
+    # on the resulting ~1.8M-distinct-edge graph.
+    from bbcrawl_spark.operators import linkgraph
+
+    ev_lg = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    links_big = (
+        ev_lg.withColumn("m", F.explode(F.sequence(F.lit(0), F.lit(19))))
+        .select(
+            F.concat(
+                F.lit("http://h"),
+                ((F.col("user_id") * 20 + F.col("m")) % 5000).cast("string"),
+                F.lit(".example.com/t/"),
+                (F.col("event_id") % 40).cast("string"),
+            ).alias("page_url"),
+            F.concat(
+                F.lit("http://h"),
+                ((F.col("event_id") + F.col("m") * 7919) % 5000).cast("string"),
+                F.lit(".example.com/u/"),
+                (F.col("event_id") % 9).cast("string"),
+            ).alias("link_url"),
+        )
+    )
+
+    def link_graph_build():
+        e = linkgraph.host_edges(links_big)
+        assert linkgraph.degree_stats(e).count() > 0
+
+    timed("link_graph_build", link_graph_build)
+
+    edges_big = linkgraph.host_edges(links_big).cache()
+    n_edges_lg = edges_big.count()
+
+    def pagerank_hosts():
+        assert linkgraph.pagerank(edges_big, iterations=5).count() > 0
+
+    timed("pagerank_hosts", pagerank_hosts)
+    extras["link_graph_edges"] = n_edges_lg
+    extras["pagerank_edges_per_sec"] = round(
+        n_edges_lg * 5 / timings["pagerank_hosts"], 0
+    )
+    edges_big.unpersist()
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )

@@ -1,0 +1,266 @@
+"""Link-graph operators (operators/linkgraph.py): host edges, degrees,
+integer-exact PageRank, crawler-trap detection, anchor aggregation.
+
+PageRank is checked against an INDEPENDENT pure-Python re-derivation of
+the integer recurrence (not against the operator's own building blocks),
+the same way the driver's DuckDB oracle replays it with unrolled CTEs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbcrawl_spark.operators import linkgraph
+
+
+def _links_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "page_url string, link_url string, anchor_text string"
+    )
+
+
+def _edges_df(spark, rows):
+    return spark.createDataFrame(
+        [(s, d, int(w)) for s, d, w in rows],
+        "src_host string, dst_host string, weight long",
+    )
+
+
+def _ref_pagerank(edges, iterations, scale=10**12, num=85, den=100):
+    """Pure-Python integer PageRank — the reference recurrence."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    base = scale // n
+    out: dict[str, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {h: base for h in nodes}
+    for _ in range(iterations):
+        contrib = {h: 0 for h in nodes}
+        for s, d in edges:
+            contrib[d] += r[s] // out[s]
+        dang = sum(r[h] for h in nodes if h not in out)
+        r = {
+            h: ((den - num) * base + num * (contrib[h] + dang // n)) // den
+            for h in nodes
+        }
+    return r
+
+
+# ---------------------------------------------------------------------------
+# host_edges
+# ---------------------------------------------------------------------------
+
+
+def test_host_edges_folds_case_port_and_drops_self_and_empty(spark):
+    links = _links_df(
+        spark,
+        [
+            # same host through case + default-port variation -> self, dropped
+            ("http://a.example.com/x", "HTTP://A.Example.com:80/y", "t"),
+            # cross-host, counted twice
+            ("http://a.example.com/x", "http://b.example.com/", "t"),
+            ("http://a.example.com/z", "http://b.example.com/w", "t"),
+            # relative link that slipped past resolution -> empty host, dropped
+            ("http://a.example.com/x", "/relative/only", "t"),
+            # reverse direction is a separate edge
+            ("http://b.example.com/", "http://a.example.com/", "t"),
+        ],
+    )
+    got = {
+        (r.src_host, r.dst_host): r.weight
+        for r in linkgraph.host_edges(links).collect()
+    }
+    assert got == {
+        ("a.example.com", "b.example.com"): 2,
+        ("b.example.com", "a.example.com"): 1,
+    }
+
+
+def test_host_edges_keep_self(spark):
+    links = _links_df(
+        spark, [("http://a.example.com/x", "http://a.example.com/y", "t")]
+    )
+    assert linkgraph.host_edges(links, keep_self=True).count() == 1
+    assert linkgraph.host_edges(links).count() == 0
+
+
+def test_host_edges_parse_url_host_fn_agrees(spark):
+    """The fast-path extractor (udfs.host_of, parse_url-backed) and the
+    oracle-replayable regex default agree on well-formed URLs."""
+    from bbcrawl_spark.functions import udfs
+
+    links = _links_df(
+        spark,
+        [
+            ("HTTP://A.Example.com:80/x", "https://B.example.org:443/y", "t"),
+            ("http://c.example.net:8080/z", "http://d.example.com/", "t"),
+            ("http://e.example.com/q?page=1#f", "http://f.example.com", "t"),
+        ],
+    )
+    a = sorted(map(tuple, linkgraph.host_edges(links).collect()))
+    b = sorted(
+        map(tuple, linkgraph.host_edges(links, host_fn=udfs.host_of).collect())
+    )
+    assert a == b and len(a) == 3
+
+
+# ---------------------------------------------------------------------------
+# degree_stats
+# ---------------------------------------------------------------------------
+
+
+def test_degree_stats_hand_computed(spark):
+    e = _edges_df(spark, [("a", "b", 3), ("a", "c", 1), ("b", "c", 2)])
+    got = {r.host: r for r in linkgraph.degree_stats(e).collect()}
+    assert (got["a"].out_degree, got["a"].in_degree) == (2, 0)
+    assert (got["a"].out_links, got["a"].in_links) == (4, 0)
+    assert (got["b"].out_degree, got["b"].in_degree) == (1, 1)
+    assert (got["b"].out_links, got["b"].in_links) == (2, 3)
+    assert (got["c"].out_degree, got["c"].in_degree) == (0, 2)
+    assert (got["c"].out_links, got["c"].in_links) == (0, 3)
+
+
+def test_degree_stats_single_shuffle(spark):
+    """The union-then-aggregate shape pays ONE exchange, not two groupBys
+    plus an outer join."""
+    e = _edges_df(spark, [("a", "b", 1)])
+    plan = linkgraph.degree_stats(e)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+        ("a", "d"),  # d has no out-edges -> dangling
+        ("e", "a"), ("e", "b"),
+    ]
+    e = _edges_df(spark, [(s, d, 1) for s, d in edges])
+    for iters in (1, 3):
+        want = _ref_pagerank(edges, iters)
+        got = {
+            r.host: r.rank_scaled
+            for r in linkgraph.pagerank(e, iterations=iters).collect()
+        }
+        assert got == want, f"iterations={iters}"
+
+
+def test_pagerank_hub_ranks_highest_and_mass_is_conserved(spark):
+    spokes = [f"s{i}" for i in range(10)]
+    # bidirectional star: hub redistributes over all spokes, so its rank is
+    # the stable maximum (a single hub->s0 edge would dump hub's whole mass
+    # on s0 each round and oscillate above it)
+    edges = [(s, "hub") for s in spokes] + [("hub", s) for s in spokes]
+    e = _edges_df(spark, [(s, d, 1) for s, d in edges])
+    rows = linkgraph.pagerank(e, iterations=4).collect()
+    ranks = {r.host: r.rank_scaled for r in rows}
+    assert max(ranks, key=ranks.get) == "hub"
+    total = sum(ranks.values())
+    # integer truncation only ever DISCARDS sub-unit mass; with dangling
+    # redistribution the total stays within a fraction of a percent of scale
+    assert 0.99 * 10**12 < total <= 10**12
+    assert all(v > 0 for v in ranks.values())
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    """pagerank de-duplicates the edge list: repeated extractions of the
+    same host pair must not double a source's vote."""
+    e1 = _edges_df(spark, [("a", "b", 1), ("a", "c", 1)])
+    e2 = _edges_df(
+        spark, [("a", "b", 1), ("a", "b", 9), ("a", "c", 1), ("a", "c", 1)]
+    )
+    r1 = {r.host: r.rank_scaled for r in linkgraph.pagerank(e1, iterations=2).collect()}
+    r2 = {r.host: r.rank_scaled for r in linkgraph.pagerank(e2, iterations=2).collect()}
+    assert r1 == r2
+
+
+def test_pagerank_rejects_bad_params(spark):
+    e = _edges_df(spark, [("a", "b", 1)])
+    with pytest.raises(ValueError):
+        linkgraph.pagerank(e, iterations=0)
+    with pytest.raises(ValueError):
+        linkgraph.pagerank(e, damping_num=100, damping_den=100)
+
+
+def test_pagerank_jvm_only(spark):
+    """The whole loop is JVM column expressions — no Python eval in plan."""
+    e = _edges_df(spark, [("a", "b", 1), ("b", "a", 1)])
+    df = linkgraph.pagerank(e, iterations=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# crawl_trap_stats
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_trap_stats_flags_template_explosion(spark):
+    rows = [(f"http://trap.example.com/cal?y=2020&m={i}&d={j}",)
+            for i in range(12) for j in range(5)]
+    rows += [(f"http://ok.example.com/{name}",)
+             for name in ("about", "contact", "faq", "pricing")]
+    urls = spark.createDataFrame(rows, "url string")
+    got = {
+        r.host: r
+        for r in linkgraph.crawl_trap_stats(
+            urls, min_urls=10, ratio_e4_threshold=100_000
+        ).collect()
+    }
+    trap = got["trap.example.com"]
+    assert (trap.n_urls, trap.n_templates) == (60, 1)
+    assert trap.ratio_e4 == 600_000 and trap.is_trap
+    ok = got["ok.example.com"]
+    assert (ok.n_urls, ok.n_templates) == (4, 4)
+    assert ok.ratio_e4 == 10_000 and not ok.is_trap
+
+
+def test_crawl_trap_min_urls_guard(spark):
+    """A tiny host with one template is NOT a trap below the volume floor."""
+    urls = spark.createDataFrame(
+        [(f"http://small.example.com/p{i}",) for i in range(3)], "url string"
+    )
+    r = linkgraph.crawl_trap_stats(urls, min_urls=10).collect()[0]
+    assert r.n_urls == 3 and not r.is_trap
+
+
+def test_crawl_trap_template_excludes_fragment_keeps_query(spark):
+    urls = spark.createDataFrame(
+        [("http://h.example.com/f/1.jpg#frag",),
+         ("http://h.example.com/f/2.jpg#other",)],
+        "url string",
+    )
+    r = linkgraph.crawl_trap_stats(urls, min_urls=1, ratio_e4_threshold=1).collect()[0]
+    assert r.n_templates == 1  # digits normalized, fragments ignored
+
+
+# ---------------------------------------------------------------------------
+# top_anchor
+# ---------------------------------------------------------------------------
+
+
+def test_top_anchor_counts_and_tie_break(spark):
+    links = _links_df(
+        spark,
+        [
+            ("http://x/", "http://t.example.com/a", "zeta"),
+            ("http://x/", "http://t.example.com/b", "zeta"),
+            ("http://x/", "http://t.example.com/c", "alpha"),
+            ("http://x/", "http://t.example.com/d", "alpha"),
+            ("http://x/", "http://t.example.com/e", "mid"),
+            ("http://x/", "http://u.example.com/", "only"),
+            ("http://x/", "http://u.example.com/", ""),  # empty anchor dropped
+        ],
+    )
+    got = {r.dst_host: r for r in linkgraph.top_anchor(links).collect()}
+    t = got["t.example.com"]
+    # alpha and zeta tie at 2 -> lexicographically smaller anchor wins
+    assert (t.top_anchor, t.n_top, t.n_links) == ("alpha", 2, 5)
+    u = got["u.example.com"]
+    assert (u.top_anchor, u.n_top, u.n_links) == ("only", 1, 1)
