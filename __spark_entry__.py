@@ -32,6 +32,7 @@ from bbcrawl_spark.operators import (
     similarity,
     textops,
 )
+from bbcrawl_spark.sources import sitemap as sitemap_mod
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1476,6 +1477,94 @@ def q_anchor_text_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.top_anchor(_events_links(spark, sf_dir))
 
 
+# --- sitemap planning + domain quota -----------------------------------------
+
+#: deterministic robots.txt bodies from events (one per user/host):
+#: canonical-case directive for user%3==0, lowercase+indented for %3==1
+#: (case/whitespace laxity under test), none for %3==2.
+_ROBOTS_TXT_SQL = (
+    "'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || "
+    "CASE WHEN user_id % 3 = 0 THEN 'Sitemap: http://forum' "
+    "  || CAST(user_id AS STRING) || '.example.com/sitemap.xml' || chr(10) "
+    "  ELSE '' END || "
+    "'Allow: /' || chr(10) || "
+    "CASE WHEN user_id % 3 = 1 THEN '  sitemap:   http://forum' "
+    "  || CAST(user_id AS STRING) || '.example.com/sitemap_index.xml' || chr(10) "
+    "  ELSE '' END"
+)
+
+#: deterministic sitemap entry blocks: index-shard blocks for every 10th
+#: user (sitemapindex files), page blocks otherwise — with whitespace
+#: inside <loc> and lastmod only on every 3rd event (NULL-path coverage)
+_SM_BLOCK_SQL = (
+    "CASE WHEN user_id % 10 = 0 THEN "
+    "  '<sitemap><loc>http://forum' || CAST(user_id AS STRING) "
+    "  || '.example.com/sm' || CAST(event_id % 5 AS STRING) "
+    "  || '.xml</loc></sitemap>' "
+    "ELSE "
+    "  '<url><loc> http://forum' || CAST(user_id AS STRING) "
+    "  || '.example.com/t' || CAST(event_id % 40 AS STRING) || ' </loc>' || "
+    "  CASE WHEN event_id % 3 = 0 THEN '<lastmod>2024-01-' "
+    "    || lpad(CAST((event_id % 28) + 1 AS STRING), 2, '0') || '</lastmod>' "
+    "    ELSE '' END || '</url>' "
+    "END"
+)
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (sitemap.sitemaps_from_robots):
+    RFC 9309 Sitemap: directives — canonical case, lowercase+indented, and
+    absent — extracted per host. Oracle replays the IDENTICAL (?im) regex
+    (Java ∩ RE2 dialect) through DuckDB's regexp_extract_all."""
+    from bbcrawl_spark.sources import sitemap
+
+    ev = _read(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_events_tmp")
+    robots = spark.sql(
+        f"SELECT DISTINCT user_id, {_ROBOTS_TXT_SQL} AS robots_txt "
+        "FROM _events_tmp"
+    )
+    return sitemap.sitemaps_from_robots(robots, host_col="user_id")
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parse (sitemap.parse_sitemaps): per-user urlset /
+    sitemapindex files assembled deterministically (array_sort ==
+    string_agg ORDER BY — same binary string order in both engines), then
+    the regex/split parse under test. lastmod coalesced to '' for the
+    hash compare (NULL renders differently across the two pandas
+    bridges)."""
+    from bbcrawl_spark.sources import sitemap
+
+    ev = _read(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_events_tmp")
+    blocks = spark.sql(
+        f"SELECT user_id, {_SM_BLOCK_SQL} AS blk FROM _events_tmp"
+    )
+    head = F.when(F.col("user_id") % 10 == 0, F.lit("<sitemapindex>")).otherwise(
+        F.lit("<urlset>")
+    )
+    tail = F.when(F.col("user_id") % 10 == 0, F.lit("</sitemapindex>")).otherwise(
+        F.lit("</urlset>")
+    )
+    xml = blocks.groupBy("user_id").agg(
+        F.concat_ws("", F.array_sort(F.collect_list("blk"))).alias("_body")
+    ).select("user_id", F.concat(head, F.col("_body"), tail).alias("xml"))
+    parsed = sitemap.parse_sitemaps(xml, src_col="user_id")
+    return parsed.select(
+        "user_id", "kind", "loc",
+        F.coalesce("lastmod", F.lit("")).alias("lastmod_s"),
+    )
+
+
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain volume cap (textops.quota_cap): at most 10 docs
+    per source, selected by the deterministic md5 draw — binds on every
+    source (25 docs each), keeping 10/25 per source at the gate SF."""
+    d = _read(spark, sf_dir, "documents")
+    return textops.quota_cap(d, quota=10).select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_cutter": q_frontier_cutter,
@@ -1528,6 +1617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "anchor_text_top": q_anchor_text_top,
+        "robots_sitemaps": q_robots_sitemaps,
+        "sitemap_urls": q_sitemap_urls,
+        "domain_quota_sample": q_domain_quota_sample,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -2391,6 +2483,46 @@ def oracle_sql() -> dict[str, str]:
                   FROM gc)
             SELECT dst_host, anchor AS top_anchor, n_links, n_top
             FROM w WHERE rn = 1
+        """,
+        "robots_sitemaps": f"""
+            WITH r AS (SELECT DISTINCT user_id, {_ROBOTS_TXT_SQL} AS robots_txt
+                       FROM events)
+            SELECT user_id,
+                   unnest(regexp_extract_all(robots_txt,
+                     '{sitemap_mod.SITEMAP_DIRECTIVE_PATTERN}', 1)) AS sitemap_url
+            FROM r
+        """,
+        "sitemap_urls": f"""
+            WITH b AS (SELECT user_id, {_SM_BLOCK_SQL} AS blk FROM events),
+            x AS (SELECT user_id,
+                         CASE WHEN user_id % 10 = 0 THEN '<sitemapindex>'
+                              ELSE '<urlset>' END
+                         || string_agg(blk, '' ORDER BY blk)
+                         || CASE WHEN user_id % 10 = 0 THEN '</sitemapindex>'
+                                 ELSE '</urlset>' END AS xml
+                  FROM b GROUP BY user_id),
+            e AS (SELECT user_id,
+                         CASE WHEN xml LIKE '%<sitemapindex%' THEN 'sitemap'
+                              ELSE 'url' END AS kind,
+                         unnest(string_split_regex(xml, '</url>|</sitemap>'))
+                           AS blk2
+                  FROM x)
+            SELECT user_id, kind,
+                   regexp_extract(blk2, '{sitemap_mod.LOC_PATTERN}', 1) AS loc,
+                   regexp_extract(blk2, '{sitemap_mod.LASTMOD_PATTERN}', 1)
+                     AS lastmod_s
+            FROM e
+            WHERE regexp_extract(blk2, '{sitemap_mod.LOC_PATTERN}', 1) <> ''
+        """,
+        "domain_quota_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS STRING) || '') ASC,
+                                doc_id ASC) AS rn
+              FROM documents)
+            WHERE rn <= 10
         """,
         "embedding_knn": """
             SELECT query_id, vec_id,

@@ -1289,6 +1289,40 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def quota_cap(
+    df: DataFrame,
+    quota: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-group volume cap: keep at most ``quota`` rows per group — the
+    C4/Gopher-style 'limit pages per domain' pass that stops a handful of
+    mega-hosts from dominating the corpus.
+
+    Selection within a group is by the same deterministic ``md5(id||salt)``
+    draw as :func:`stratified_sample` — NOT arrival/partition order — so
+    the kept set is a uniform random subset of each group, identical across
+    runs, partitionings, and engines (the DuckDB oracle replays the same
+    md5), with ``salt`` giving an independent re-draw. Draw collisions
+    break on the id.
+
+    Scale shape: ``row_number() <= k`` compiles to WindowGroupLimit with a
+    map-side Partial phase (the politeness top-k hot-host defense, pinned
+    in tests/test_operators.py) — a group with 10^9 rows ships
+    O(tasks x quota) rows through the exchange, not 10^9.
+    """
+    if quota < 1:
+        raise ValueError("quota must be >= 1")
+    draw = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(draw.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_qrn", F.row_number().over(w))
+        .filter(F.col("_qrn") <= quota)
+        .drop("_qrn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # fixed-window document chunking (training-sequence preparation)
 # ---------------------------------------------------------------------------
