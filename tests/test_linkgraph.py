@@ -196,6 +196,46 @@ def test_pagerank_jvm_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pagerank_prior_composes_with_politeness_budgets(spark):
+    """Integration: link-graph ranks become per-host fetch budgets — the
+    signal path a production scheduler wires (reputation-weighted
+    politeness): pagerank -> (host, budget) dim -> rank_fetch_slots
+    host_budgets override."""
+    from pyspark.sql import Window, functions as F
+
+    from bbcrawl_spark.operators import politeness
+
+    spokes = [f"s{i}" for i in range(4)]
+    edges = _edges_df(
+        spark,
+        [(s, "hub", 1) for s in spokes] + [("hub", s, 1) for s in spokes],
+    )
+    pr = linkgraph.pagerank(edges, iterations=3)
+    w = Window.orderBy(F.col("rank_scaled").desc(), F.col("host"))
+    budgets = pr.select(
+        "host",
+        F.when(F.row_number().over(w) == 1, F.lit(3)).otherwise(F.lit(1)).alias("budget"),
+    )
+    frontier = spark.createDataFrame(
+        [
+            (h, 1, i, i * 17)
+            for h in ["hub"] + spokes
+            for i in range(1, 6)
+        ],
+        "host string, priority int, page_num int, url_hash long",
+    )
+    ranked = politeness.rank_fetch_slots(frontier, budget=1, host_budgets=budgets)
+    got = {
+        r.host: r.cnt
+        for r in ranked.filter("scheduled")
+        .groupBy("host")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got["hub"] == 3  # highest-rank host gets the larger budget
+    assert all(got[s] == 1 for s in spokes)
+
+
 # ---------------------------------------------------------------------------
 # crawl_trap_stats
 # ---------------------------------------------------------------------------
