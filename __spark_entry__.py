@@ -1452,7 +1452,7 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-CTE replay of the same integer recurrence, which is what
     makes a graph ALGORITHM value-hash-checkable cross-engine."""
     e = linkgraph.host_edges(_events_links(spark, sf_dir))
-    return linkgraph.pagerank(e, iterations=5)
+    return linkgraph.pagerank(e, iterations=5, assume_distinct=True)
 
 
 def q_crawl_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:

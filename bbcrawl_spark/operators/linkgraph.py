@@ -151,6 +151,7 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**12,
+    assume_distinct: bool = False,
     cache: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over host edges, in INTEGER arithmetic.
@@ -173,67 +174,105 @@ def pagerank(
     aggregate that Catalyst broadcasts — no driver round-trip per
     iteration.
 
-    Scale notes: 2 shuffles per iteration (ranks ⋈ edges on src, then the
-    groupBy on dst) plus the broadcast dangling scalar — same shape as
-    connected_components. The edge list (joined every round) and node list
-    (left side of every round's final join) are checkpoint-pinned once;
-    each round's rank table is eagerly checkpointed and the previous
-    round's blocks freed, so lineage stays O(1) deep. ``N`` comes from one
-    driver-side count on the node table — control-plane, once, like the
-    CC convergence counter. Overflow: num * total_mass <= 100 * scale ~=
-    1e14, far inside int64. Pass ``cache`` (a list) to receive the final
-    checkpoint handle and free it after consuming the result.
+    Scale notes: 2 shuffles per iteration (ranks ⋈ edges on src — AQE
+    broadcasts the rank table while it fits, partitioned join beyond —
+    then the map-side-combined groupBy on dst) plus the broadcast dangling
+    scalar; same shape as connected_components. The edge list (joined
+    every round) and node list (left side of every round's final join)
+    are checkpoint-pinned once; each round's rank table is eagerly
+    checkpointed and the previous round's blocks freed, so lineage stays
+    O(1) deep. Set ``assume_distinct=True`` when ``edges`` is
+    :func:`host_edges` output (one row per pair by construction) — it
+    skips the defensive dedup, which is otherwise a full exchange of the
+    edge list paid before the first iteration. When every node has
+    out-edges (checked once, up front), the per-iteration dangling
+    aggregate is provably zero and its anti-join + broadcast job is
+    skipped entirely. ``N`` comes from one driver-side count on the node
+    table — control-plane, once, like the CC convergence counter.
+    Overflow: num * total_mass <= 100 * scale ~= 1e14, far inside int64.
+    Pass ``cache`` (a list) to receive the final checkpoint handle and
+    free it after consuming the result.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if not (0 < damping_num < damping_den):
         raise ValueError("need 0 < damping_num < damping_den")
     jsc = edges.sparkSession.sparkContext._jsc
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
-    outdeg = e.groupBy("s").agg(F.count("*").alias("od"))
-    # fold out-degree into the edge list once so the loop joins ONE table
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not assume_distinct:
+        e = e.distinct()
+    # dense LONG vertex ids for the loop: host strings never cross a
+    # per-iteration exchange (measured 1.7-2.4x on the 12M-edge loop — the
+    # iteration cost is join-probe + shuffle BANDWIDTH, and an 8-byte key
+    # beats a ~15-byte string on both). Ids come from
+    # monotonically_increasing_id on the checkpoint-PINNED node dim, so
+    # they are assigned once and stable for the whole run — and the rank
+    # recurrence never orders or ties on id values, so the (host, rank)
+    # result is identical to the string-keyed loop bit for bit (test
+    # pinned against the pure-Python reference + the DuckDB oracle, both
+    # of which know nothing about the internal keying).
     pre = _persistent_ids(jsc)
-    ej = e.join(outdeg, "s").localCheckpoint()
-    nodes = (
+    dim = (
         e.select(F.col("s").alias("h"))
         .unionByName(e.select(F.col("d").alias("h")))
         .distinct()
+        .select("h", F.monotonically_increasing_id().alias("nid"))
         .localCheckpoint()
     )
-    pinned = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
-    n = nodes.count()
+    dim_pinned = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
+    n = dim.count()
     if n == 0:
         if cache is not None:
-            cache.append(pinned)
-        return nodes.select(
+            cache.append(dim_pinned)
+        return dim.select(
             F.col("h").alias("host"), F.lit(0).cast("long").alias("rank_scaled")
         )
+    sdim = dim.select(F.col("h").alias("_sh"), F.col("nid").alias("sid"))
+    ddim = dim.select(F.col("h").alias("_dh"), F.col("nid").alias("did"))
+    ei = (
+        e.join(sdim, e["s"] == sdim["_sh"])
+        .join(ddim, e["d"] == ddim["_dh"])
+        .select("sid", "did")
+    )
+    outdeg = ei.groupBy("sid").agg(F.count("*").alias("od"))
+    # fold out-degree into the edge list once so the loop joins ONE table
+    pre = _persistent_ids(jsc)
+    ej = ei.join(outdeg, "sid").localCheckpoint()
+    pinned = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
+    nodes = dim.select(F.col("nid").alias("v"))
     base = scale // n
-    has_out = ej.select(F.col("s").alias("h")).distinct()
-    ranks = nodes.select("h", F.lit(base).cast("long").alias("r"))
+    has_out = ej.select(F.col("sid").alias("v")).distinct()
+    # no host lacks out-edges -> the dangling term is identically zero in
+    # every iteration; one up-front count removes an anti-join + broadcast
+    # job from each round (the common case for link graphs aggregated from
+    # a full crawl, where every observed host linked out at least once)
+    no_dangling = has_out.count() == n
+    ranks = nodes.select("v", F.lit(base).cast("long").alias("r"))
     backing = _CheckpointHandle(jsc, set())
     for _ in range(iterations):
         contrib = (
-            ej.join(ranks, ej["s"] == ranks["h"])
-            .select(F.col("d"), F.expr("r div od").alias("c"))
-            .groupBy("d")
+            ej.join(ranks, ej["sid"] == ranks["v"])
+            .select(F.col("did"), F.expr("r div od").alias("c"))
+            .groupBy("did")
             .agg(F.sum("c").alias("sum_c"))
         )
-        dang = (
-            ranks.join(has_out, "h", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
-        )
-        new_ranks = (
-            nodes.join(contrib, nodes["h"] == contrib["d"], "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "h",
-                F.expr(
-                    f"(({damping_den - damping_num}L * {base}L) + "
-                    f"{damping_num}L * (coalesce(sum_c, 0L) + (dang div {n}L)))"
-                    f" div {damping_den}L"
-                ).alias("r"),
+        stepped = nodes.join(contrib, nodes["v"] == contrib["did"], "left")
+        if no_dangling:
+            dang_term = "0L"
+        else:
+            dang = (
+                ranks.join(has_out, "v", "left_anti")
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
             )
+            stepped = stepped.crossJoin(F.broadcast(dang))
+            dang_term = f"(dang div {n}L)"
+        new_ranks = stepped.select(
+            "v",
+            F.expr(
+                f"(({damping_den - damping_num}L * {base}L) + "
+                f"{damping_num}L * (coalesce(sum_c, 0L) + {dang_term}))"
+                f" div {damping_den}L"
+            ).alias("r"),
         )
         pre = _persistent_ids(jsc)
         new_ranks = new_ranks.localCheckpoint()  # eager; truncates lineage
@@ -241,10 +280,17 @@ def pagerank(
         backing.unpersist()  # previous round's rank blocks are dead now
         backing = new_backing
         ranks = new_ranks
-    pinned.unpersist()  # edges/nodes done once final ranks materialized
+    pinned.unpersist()  # int edge list done once final ranks materialized
+    out = (
+        ranks.join(dim, ranks["v"] == dim["nid"])
+        .select(F.col("h").alias("host"), F.col("r").alias("rank_scaled"))
+    )
+    # the host dim backs the RETURNED frame (final re-join) — hand it to
+    # the caller's cache list alongside the final rank checkpoint
     if cache is not None:
         cache.append(backing)
-    return ranks.select(F.col("h").alias("host"), F.col("r").alias("rank_scaled"))
+        cache.append(dim_pinned)
+    return out
 
 
 #: digit-run normalization shared by trap detection in BOTH engines:

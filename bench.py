@@ -491,7 +491,11 @@ def main() -> None:
     n_edges_lg = edges_big.count()
 
     def pagerank_hosts():
-        assert linkgraph.pagerank(edges_big, iterations=5).count() > 0
+        # host_edges output is one row per pair by construction ->
+        # assume_distinct skips the defensive full-exchange dedup
+        assert linkgraph.pagerank(
+            edges_big, iterations=5, assume_distinct=True
+        ).count() > 0
 
     timed("pagerank_hosts", pagerank_hosts)
     extras["link_graph_edges"] = n_edges_lg

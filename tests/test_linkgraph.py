@@ -136,19 +136,39 @@ def test_degree_stats_single_shuffle(spark):
 
 
 def test_pagerank_matches_python_reference(spark):
-    edges = [
+    dangling = [
         ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
         ("a", "d"),  # d has no out-edges -> dangling
         ("e", "a"), ("e", "b"),
     ]
+    # ring + chords: EVERY node has out-edges -> exercises the
+    # skip-the-dangling-job fast path against the same reference
+    no_dangling = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+        ("a", "c"), ("c", "a"), ("d", "b"),
+    ]
+    for edges in (dangling, no_dangling):
+        e = _edges_df(spark, [(s, d, 1) for s, d in edges])
+        for iters in (1, 3):
+            want = _ref_pagerank(edges, iters)
+            got = {
+                r.host: r.rank_scaled
+                for r in linkgraph.pagerank(e, iterations=iters).collect()
+            }
+            assert got == want, f"edges={edges} iterations={iters}"
+
+
+def test_pagerank_assume_distinct_identity_on_unique_edges(spark):
+    """On an already-unique edge list (host_edges output) the
+    assume_distinct fast path returns the identical ranks."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
     e = _edges_df(spark, [(s, d, 1) for s, d in edges])
-    for iters in (1, 3):
-        want = _ref_pagerank(edges, iters)
-        got = {
-            r.host: r.rank_scaled
-            for r in linkgraph.pagerank(e, iterations=iters).collect()
-        }
-        assert got == want, f"iterations={iters}"
+    slow = {r.host: r.rank_scaled for r in linkgraph.pagerank(e, iterations=3).collect()}
+    fast = {
+        r.host: r.rank_scaled
+        for r in linkgraph.pagerank(e, iterations=3, assume_distinct=True).collect()
+    }
+    assert slow == fast
 
 
 def test_pagerank_hub_ranks_highest_and_mass_is_conserved(spark):
