@@ -152,6 +152,7 @@ def pagerank(
     damping_den: int = 100,
     scale: int = 10**12,
     assume_distinct: bool = False,
+    broadcast_max_nodes: int = 1_000_000,
     cache: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over host edges, in INTEGER arithmetic.
@@ -229,6 +230,15 @@ def pagerank(
         )
     sdim = dim.select(F.col("h").alias("_sh"), F.col("nid").alias("sid"))
     ddim = dim.select(F.col("h").alias("_dh"), F.col("nid").alias("did"))
+    # the checkpointed dim is a LogicalRDD with no size statistics — the
+    # planner would sort-merge the re-key joins (shuffling the whole edge
+    # list twice) even when the dim is tiny, and AQE can only rescue joins
+    # that sit on shuffle boundaries. n is known EXACTLY from the count
+    # above, so broadcast the dim sides whenever they provably fit
+    # (~40 MB at the 1M default); beyond that the partitioned join is the
+    # intended plan anyway.
+    if n <= broadcast_max_nodes:
+        sdim, ddim = F.broadcast(sdim), F.broadcast(ddim)
     ei = (
         e.join(sdim, e["s"] == sdim["_sh"])
         .join(ddim, e["d"] == ddim["_dh"])
@@ -281,8 +291,9 @@ def pagerank(
         backing = new_backing
         ranks = new_ranks
     pinned.unpersist()  # int edge list done once final ranks materialized
+    out_dim = F.broadcast(dim) if n <= broadcast_max_nodes else dim
     out = (
-        ranks.join(dim, ranks["v"] == dim["nid"])
+        ranks.join(out_dim, ranks["v"] == out_dim["nid"])
         .select(F.col("h").alias("host"), F.col("r").alias("rank_scaled"))
     )
     # the host dim backs the RETURNED frame (final re-join) — hand it to

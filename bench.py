@@ -570,8 +570,16 @@ def main() -> None:
     bench_md = os.path.join(here, "BENCH.md")
     if os.path.exists(bench_md):
         try:
-            tail = open(bench_md).read().rsplit("```json", 1)[1].split("```")[0]
-            scaling = json.loads(tail)
+            # BENCH.md may carry several ```json blocks (per-operator scaling
+            # sections) — take the LAST one that holds the headline key, not
+            # blindly the last block
+            scaling = None
+            for block in open(bench_md).read().split("```json")[1:]:
+                cand = json.loads(block.split("```")[0])
+                if "headline_efficiency_2_to_8" in cand:
+                    scaling = cand
+            if scaling is None:
+                raise ValueError("no headline scaling block in BENCH.md")
             with open(os.path.join(here, "BENCH_SCALING.json"), "w") as fh:
                 json.dump(
                     {
