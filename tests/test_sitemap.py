@@ -108,6 +108,55 @@ def test_parse_is_jvm_only_no_exchange(spark):
     assert "Exchange" not in plan
 
 
+def test_sitemap_urls_feed_the_crawl_frontier(spark):
+    """Integration: the discovery chain ends in the scheduler — parsed
+    sitemap URLs union into a frontier, dedup against the seen set, and
+    politeness-rank per host like any other candidate batch."""
+    from pyspark.sql import functions as F
+
+    from bbcrawl_spark.functions import udfs
+    from bbcrawl_spark.operators import dedup, politeness
+
+    xml_a = (
+        "<urlset>"
+        + "".join(
+            f"<url><loc>http://a.example.com/p{i}</loc></url>" for i in range(6)
+        )
+        + "</urlset>"
+    )
+    xml_b = (
+        "<urlset>"
+        + "".join(
+            f"<url><loc>http://b.example.com/p{i}</loc></url>" for i in range(3)
+        )
+        + "</urlset>"
+    )
+    sm = spark.createDataFrame([(xml_a,), (xml_b,)], "xml string")
+    cand = (
+        sitemap.parse_sitemaps(sm)
+        .filter(F.col("kind") == "url")
+        .select(
+            F.col("loc").alias("url"),
+            udfs.host_of("loc").alias("host"),
+            F.lit(1).alias("priority"),
+            F.lit(1).alias("page_num"),
+        )
+        .withColumn("url_hash", udfs.url_hash_col("url"))
+    )
+    # two URLs already crawled -> anti-joined away
+    seen = cand.filter(F.col("url").endswith("p0")).select("url_hash")
+    fresh = dedup.dedup_against_seen(cand, seen)
+    ranked = politeness.rank_fetch_slots(fresh, budget=3)
+    got = {
+        r.host: r.cnt
+        for r in ranked.filter("scheduled")
+        .groupBy("host")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == {"a.example.com": 3, "b.example.com": 2}
+
+
 class TestQuotaCap:
     """textops.quota_cap — the C4-style per-domain volume cap (lives here
     with the other planning/curation additions of this pass)."""
