@@ -170,6 +170,42 @@ def q_seen_dedup_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(seen, "canon_url", "left_anti")
 
 
+def q_bucketed_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/J1 at the 10^10-seen-set shape (sources/bucketed.py): the seen
+    urls are WRITTEN as a hash-bucketed EXTERNAL table on
+    ``xxhash64(canon_url)`` and the frontier anti-joins against the
+    catalog's bucketed scan — ONE exchange total, frontier side only,
+    pinned in tests/test_bucketed.py. Logical result is identical to the
+    plain anti-join (bucketing is a physical property), so the oracle
+    replays ``seen_dedup_antijoin``'s SQL verbatim; hashing the join key is
+    result-neutral (deterministic, and a 64-bit collision among ~10^4 urls
+    is ~1e-12)."""
+    import os
+    import tempfile
+
+    from bbcrawl_spark.sources import bucketed
+
+    u = _events_urls(spark, sf_dir)
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type")
+    cand = (
+        u.join(ev, "event_id")
+        .filter(F.col("event_type") == "click")
+        .select(udfs.canonicalize_col("url").alias("canon_url"))
+        .distinct()
+        .withColumn("url_hash", F.xxhash64("canon_url"))
+    )
+    seen = (
+        u.join(ev, "event_id")
+        .filter(F.col("event_type") == "error")
+        .select(udfs.canonicalize_col("url").alias("canon_url"))
+        .distinct()
+        .select(F.xxhash64("canon_url").alias("url_hash"))
+    )
+    tmp = tempfile.mkdtemp(prefix="drv_bkt_seen_")
+    bucketed.write_bucketed(seen, "_drv_seen_bkt", os.path.join(tmp, "seen"), 8)
+    return bucketed.anti_join_new(cand, spark, "_drv_seen_bkt").select("canon_url")
+
+
 def q_exclude_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/J2: broadcast anti-join of lineitem against a tiny literal
     exclude list."""
@@ -1603,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_query": q_frontier_query,
         "url_canonicalize": q_url_canonicalize,
         "seen_dedup_antijoin": q_seen_dedup_antijoin,
+        "bucketed_seen_antijoin": q_bucketed_seen_antijoin,
         "exclude_filter": q_exclude_filter,
         "politeness_topk": q_politeness_topk,
         "politeness_host_budgets": q_politeness_host_budgets,
@@ -1748,6 +1785,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, {_CANON_SQL} AS canon_url FROM u
         """,
         "seen_dedup_antijoin": f"""
+            {_URL_CTE}
+            SELECT DISTINCT {_CANON_SQL} AS canon_url
+            FROM u JOIN events USING (event_id)
+            WHERE events.event_type = 'click'
+            AND {_CANON_SQL} NOT IN (
+                SELECT {_CANON_SQL} FROM u JOIN events USING (event_id)
+                WHERE events.event_type = 'error')
+        """,
+        # same logical result as seen_dedup_antijoin: the bucketed layout is
+        # a physical property (one-sided exchange), never a semantic one
+        "bucketed_seen_antijoin": f"""
             {_URL_CTE}
             SELECT DISTINCT {_CANON_SQL} AS canon_url
             FROM u JOIN events USING (event_id)

@@ -546,6 +546,50 @@ def main() -> None:
     extras["bloom_incr_vs_full_rebuild"] = round(
         timings["bloom_full_rebuild_20m"] / max(timings["bloom_incr_update_20m"], 1e-9), 1
     )
+    # --- bucketed seen-set exact confirm: one-sided vs both-sides shuffle --
+    # same 20M-key seen set, stored two ways: plain parquet (anti-join must
+    # shuffle BOTH sides) vs hash-bucketed table (seen side read in place,
+    # only the probe frontier crosses an exchange — sources/bucketed.py).
+    # Broadcast disabled: at the north-rule's 10^10 keys the seen side can
+    # never broadcast, so the SMJ regime is the one that matters.
+    from bbcrawl_spark.sources import bucketed as bucketed_mod
+
+    bktdir = tempfile.mkdtemp(prefix="bench_bkt_seen_")
+    plain_path = os.path.join(bktdir, "plain")
+    big_seen.write.mode("overwrite").parquet(plain_path)
+    bucketed_mod.write_bucketed(
+        big_seen, "bench_seen_bkt", os.path.join(bktdir, "bkt"), CPUS
+    )
+    N_PROBE = 2_000_000 * SCALE
+    probe = (
+        spark.range(N_SEEN_BIG - N_PROBE // 2, N_SEEN_BIG + N_PROBE // 2, 1, CPUS)
+        .select(F.xxhash64("id").alias("url_hash"))
+        .cache()
+    )
+    probe.count()
+    _thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def antijoin_plain():
+        n = probe.join(
+            spark.read.parquet(plain_path), "url_hash", "left_anti"
+        ).count()
+        assert n == N_PROBE // 2
+
+    timed("seen_antijoin_plain_20m", antijoin_plain)
+
+    def antijoin_bucketed():
+        n = bucketed_mod.anti_join_new(probe, spark, "bench_seen_bkt").count()
+        assert n == N_PROBE // 2
+
+    timed("seen_antijoin_bucketed_20m", antijoin_bucketed)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _thr)
+    extras["seen_antijoin_bucketed_speedup"] = round(
+        timings["seen_antijoin_plain_20m"]
+        / max(timings["seen_antijoin_bucketed_20m"], 1e-9),
+        2,
+    )
+    probe.unpersist()
     big_seen.unpersist()
     big_delta.unpersist()
 

@@ -1,0 +1,133 @@
+"""Bucketed seen-set storage (sources/bucketed.py): the per-round exact
+anti-join must read the 10^10-row seen side in place — one exchange total,
+on the frontier side only — and survive catalog restarts + delta appends.
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbcrawl_spark.sources import bucketed
+
+BUCKETS = 8
+
+
+@contextmanager
+def _no_broadcast(spark):
+    # the seen side is never broadcastable at 10^10 rows; pin the SMJ/SHJ
+    # regime the design targets
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _hashes(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_anti_join_matches_plain_and_shuffles_one_side(spark, tmp_path):
+    seen = _hashes(spark, 0, 10_000)
+    frontier = _hashes(spark, 5_000, 15_000)
+    bucketed.write_bucketed(seen, "seen_bkt_a", str(tmp_path / "seen"), BUCKETS)
+    with _no_broadcast(spark):
+        new = bucketed.anti_join_new(frontier, spark, "seen_bkt_a")
+        expected = frontier.join(seen, "url_hash", "left_anti")
+        assert new.count() == expected.count() == 5_000
+
+        plan = _plan(bucketed.anti_join_new(frontier, spark, "seen_bkt_a"))
+    # ONE exchange in the whole join: the frontier side. The seen scan is
+    # bucketed and feeds the join without any Exchange above it.
+    assert plan.count("Exchange") == 1
+    assert "Bucketed: true" in plan
+    assert f"SelectedBucketsCount: {BUCKETS} out of {BUCKETS}" in plan
+    # the single exchange sits above the frontier's Range, not the FileScan
+    assert plan.index("Exchange") < plan.index("FileScan")
+
+
+def test_append_delta_only_and_plan_property_survives(spark, tmp_path):
+    path = str(tmp_path / "seen")
+    bucketed.write_bucketed(_hashes(spark, 0, 1_000), "seen_bkt_b", path, BUCKETS)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    bucketed.append_bucketed(_hashes(spark, 1_000, 1_200), "seen_bkt_b", path, BUCKETS)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after > n_before  # delta files added...
+    assert spark.table("seen_bkt_b").count() == 1_200  # ...nothing rewritten
+
+    frontier = _hashes(spark, 500, 2_000)
+    with _no_broadcast(spark):
+        new = bucketed.anti_join_new(frontier, spark, "seen_bkt_b")
+        assert new.count() == 800  # ids 1200..1999
+        plan = _plan(bucketed.anti_join_new(frontier, spark, "seen_bkt_b"))
+    assert plan.count("Exchange") == 1 and "Bucketed: true" in plan
+
+
+def test_point_probe_prunes_to_one_bucket(spark, tmp_path):
+    bucketed.write_bucketed(
+        _hashes(spark, 0, 10_000), "seen_bkt_c", str(tmp_path / "seen"), BUCKETS
+    )
+    probe = spark.table("seen_bkt_c").limit(1).collect()[0]["url_hash"]
+    # autoBucketedScan only values shuffle elimination; for key-probe reads
+    # (the reference's Exists() lookup) pruning needs the bucketed scan kept
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        scan = spark.table("seen_bkt_c").filter(F.col("url_hash") == probe)
+        assert scan.count() == 1
+        assert f"SelectedBucketsCount: 1 out of {BUCKETS}" in _plan(scan)
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_register_reattaches_after_catalog_restart(spark, tmp_path):
+    path = str(tmp_path / "seen")
+    bucketed.write_bucketed(_hashes(spark, 0, 2_000), "seen_bkt_d", path, BUCKETS)
+    # external table: dropping the catalog entry (= session restart) keeps data
+    spark.sql("DROP TABLE seen_bkt_d")
+    assert os.path.isdir(path)
+    bucketed.register_bucketed(
+        spark, "seen_bkt_d", path, BUCKETS, "url_hash BIGINT"
+    )
+    assert spark.table("seen_bkt_d").count() == 2_000
+    frontier = _hashes(spark, 1_000, 3_000)
+    with _no_broadcast(spark):
+        assert bucketed.anti_join_new(frontier, spark, "seen_bkt_d").count() == 1_000
+        plan = _plan(bucketed.anti_join_new(frontier, spark, "seen_bkt_d"))
+    assert plan.count("Exchange") == 1 and "Bucketed: true" in plan
+
+
+def test_compact_shrinks_files_keeps_rows_and_bucketing(spark, tmp_path):
+    path = str(tmp_path / "seen")
+    bucketed.write_bucketed(_hashes(spark, 0, 1_000), "seen_bkt_e", path, BUCKETS)
+    for i in range(3):
+        bucketed.append_bucketed(
+            _hashes(spark, 1_000 + 100 * i, 1_100 + 100 * i),
+            "seen_bkt_e", path, BUCKETS,
+        )
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    before = {r["url_hash"] for r in spark.table("seen_bkt_e").collect()}
+
+    new_path = str(tmp_path / "seen_v2")
+    bucketed.compact_bucketed(spark, "seen_bkt_e", new_path, BUCKETS)
+    n_compact = len([f for f in os.listdir(new_path) if f.endswith(".parquet")])
+    assert n_compact < n_files
+    after = {r["url_hash"] for r in spark.table("seen_bkt_e").collect()}
+    assert after == before
+    with _no_broadcast(spark):
+        plan = _plan(
+            bucketed.anti_join_new(_hashes(spark, 0, 10), spark, "seen_bkt_e")
+        )
+    assert plan.count("Exchange") == 1 and "Bucketed: true" in plan
