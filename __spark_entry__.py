@@ -1374,6 +1374,50 @@ def q_cdx_latest_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl planning from capture history (cdx.recrawl_schedule):
+    synthesize per-URL capture rows from documents (url key = doc_id % 400;
+    digest changes at a per-URL rate — never / every capture / every 2nd —
+    so n_versions, the span/changes estimator, the max clamp, and both due
+    outcomes are exercised at the gate SF; the min clamp needs sub-day
+    spans and is pinned in tests/test_cdx.py instead), then the
+    integer-seconds scheduler under test. Oracle
+    replays the same grouping with epoch()/``//``/greatest/least and the
+    interval-add via DuckDB's own timestamp arithmetic; timestamps compare
+    as ts14 strings (the parse∘format identity used by cdx_latest_captures)."""
+    from bbcrawl_spark.sources import cdx
+
+    d = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    u = doc_id % 400
+    ts14 = F.concat(
+        F.lit("202401"),
+        F.lpad(((doc_id % 28) + 1).cast("string"), 2, "0"),
+        F.lpad((doc_id % 24).cast("string"), 2, "0"),
+        F.lpad(((doc_id * 7) % 60).cast("string"), 2, "0"),
+        F.lit("00"),
+    )
+    version = (
+        F.when(u % 4 == 1, F.expr("doc_id div 400"))
+        .when(u % 4 == 0, F.lit(0))
+        .otherwise(F.expr("(doc_id div 400) div 2"))
+    )
+    caps = d.select(
+        F.concat(F.lit("com,example,www)/doc/"), u.cast("string")).alias("surt"),
+        F.to_timestamp(ts14, "yyyyMMddHHmmss").alias("fetch_ts"),
+        F.md5(
+            F.concat(u.cast("string"), F.lit(":"), version.cast("string"))
+        ).alias("digest"),
+    )
+    sched = cdx.recrawl_schedule(caps, "2024-02-10 00:00:00")
+    return sched.select(
+        "surt", "n_captures", "n_versions", "interval_s",
+        F.date_format("last_ts", "yyyyMMddHHmmss").alias("last14"),
+        F.date_format("next_due_ts", "yyyyMMddHHmmss").alias("next_due14"),
+        F.col("due").cast("int").alias("due_int"),
+    )
+
+
 # --- link-graph ops ---------------------------------------------------------
 
 #: deterministic synthetic link extraction built from the events table —
@@ -1681,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_mixture": q_rebalance_mixture,
         "corpus_shuffle": q_corpus_shuffle,
         "cdx_latest_captures": q_cdx_latest_captures,
+        "recrawl_due": q_recrawl_due,
         "link_graph_degrees": q_link_graph_degrees,
         "pagerank_hosts": q_pagerank_hosts,
         "crawl_trap_hosts": q_crawl_trap_hosts,
@@ -2410,6 +2455,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT surt, url, strftime(fetch_ts, '%Y%m%d%H%M%S') AS ts14,
                    digest, warc_filename, warc_offset, warc_length
             FROM k WHERE rn = 1
+        """,
+        # change-rate estimator replayed with DuckDB's own primitives:
+        # epoch() seconds + integer //, greatest/least clamps, and the
+        # interval-add done as native timestamp arithmetic (Spark does
+        # timestamp_seconds(epoch + interval) — cross-checked shapes)
+        "recrawl_due": """
+            WITH caps AS (
+              SELECT 'com,example,www)/doc/' || CAST(doc_id % 400 AS STRING) AS surt,
+                     strptime('202401'
+                       || lpad(CAST((doc_id % 28) + 1 AS STRING), 2, '0')
+                       || lpad(CAST(doc_id % 24 AS STRING), 2, '0')
+                       || lpad(CAST((doc_id * 7) % 60 AS STRING), 2, '0')
+                       || '00', '%Y%m%d%H%M%S') AS fetch_ts,
+                     md5(CAST(doc_id % 400 AS STRING) || ':' ||
+                         CAST(CASE WHEN (doc_id % 400) % 4 = 1 THEN doc_id // 400
+                                   WHEN (doc_id % 400) % 4 = 0 THEN 0
+                                   ELSE (doc_id // 400) // 2 END AS STRING)) AS digest
+              FROM documents),
+            agg AS (
+              SELECT surt, COUNT(*) AS n_captures,
+                     COUNT(DISTINCT digest) AS n_versions,
+                     CAST(epoch(MIN(fetch_ts)) AS BIGINT) AS first_s,
+                     CAST(epoch(MAX(fetch_ts)) AS BIGINT) AS last_s,
+                     MAX(fetch_ts) AS last_ts
+              FROM caps GROUP BY surt),
+            iv AS (
+              SELECT *, greatest(86400, least(2592000,
+                       CASE WHEN n_versions > 1
+                            THEN (last_s - first_s) // (n_versions - 1)
+                            ELSE 2592000 END)) AS interval_s
+              FROM agg)
+            SELECT surt, n_captures, n_versions, interval_s,
+                   strftime(last_ts, '%Y%m%d%H%M%S') AS last14,
+                   strftime(last_ts + interval_s * INTERVAL 1 SECOND,
+                            '%Y%m%d%H%M%S') AS next_due14,
+                   CAST(last_ts + interval_s * INTERVAL 1 SECOND
+                        <= TIMESTAMP '2024-02-10 00:00:00' AS INT) AS due_int
+            FROM iv
         """,
         "pii_redaction": pii_sql,
         # 5-gram shingles (same short-doc whole-text fallback as the Spark

@@ -35,6 +35,7 @@ __all__ = [
     "parse_cdx_lines",
     "read_cdx",
     "latest_captures",
+    "recrawl_schedule",
 ]
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*):"
@@ -148,4 +149,69 @@ def latest_captures(df: DataFrame) -> DataFrame:
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def recrawl_schedule(
+    df: DataFrame,
+    now: str,
+    min_interval_s: int = 86_400,
+    max_interval_s: int = 30 * 86_400,
+) -> DataFrame:
+    """Plan which pages are due for a refetch from their capture history —
+    the index-driven recrawl scheduler that decides the NEXT round's
+    frontier for pages the crawl already has.
+
+    Per SURT key over ``(surt, fetch_ts, digest)`` capture rows:
+
+    * ``n_versions`` = distinct content digests — how often the page
+      actually changed across captures (same-digest recrawls are free
+      information: the page did NOT change);
+    * estimated change interval = observed span ÷ (versions − 1), the
+      maximum-likelihood mean time between observed changes; pages never
+      seen to change get ``max_interval_s``;
+    * ``interval_s`` clamps that into ``[min_interval_s, max_interval_s]``
+      (a page that changed twice in one crawl burst must not schedule an
+      hourly refetch forever; a dead page is still re-checked eventually);
+    * ``due`` = last capture + interval ≤ ``now``.
+
+    This is the classic uniform-change-rate estimator (Cho & Garcia-Molina's
+    freshness model, simplified to the observable span/changes ratio) — the
+    per-key state is four integers.  The distinct-digest count makes
+    Catalyst expand the aggregation into its standard two-phase shape (one
+    exchange on ``(surt, digest)``, one on ``surt`` — BOTH map-side
+    partial-aggregated, so each ships one row per distinct pair / key, not
+    per capture; pinned in tests).  No window, no join, no Python: at
+    10^10 SURT keys the pass is two combine-reduced exchanges on short
+    keys, and the due set feeds straight into the frontier union.
+
+    All arithmetic is integer seconds (``unix_timestamp`` → ``div`` →
+    ``greatest/least``), so a DuckDB oracle replays it exactly
+    (``epoch()`` / ``//``); ``now`` is a ``'yyyy-MM-dd HH:mm:ss'`` string
+    parsed in the session timezone, the same zone the capture timestamps
+    were parsed in, so offsets cancel in the ``due`` comparison.
+    """
+    last_s = F.unix_timestamp(F.max("fetch_ts"))
+    first_s = F.unix_timestamp(F.min("fetch_ts"))
+    agg = df.groupBy("surt").agg(
+        F.count("*").alias("n_captures"),
+        F.count_distinct("digest").alias("n_versions"),
+        first_s.alias("_first_s"),
+        last_s.alias("_last_s"),
+        F.max("fetch_ts").alias("last_ts"),
+    )
+    est = F.when(
+        F.col("n_versions") > 1,
+        F.expr("(_last_s - _first_s) div (n_versions - 1)"),
+    ).otherwise(F.lit(max_interval_s).cast("long"))
+    interval_s = F.greatest(
+        F.lit(min_interval_s).cast("long"),
+        F.least(F.lit(max_interval_s).cast("long"), est),
+    )
+    now_s = F.unix_timestamp(F.to_timestamp(F.lit(now)))
+    return (
+        agg.withColumn("interval_s", interval_s)
+        .withColumn("next_due_ts", F.timestamp_seconds(F.col("_last_s") + F.col("interval_s")))
+        .withColumn("due", F.col("_last_s") + F.col("interval_s") <= now_s)
+        .drop("_first_s", "_last_s")
     )

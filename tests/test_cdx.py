@@ -118,3 +118,81 @@ class TestLatestCaptures:
         )
         kept = cdx.latest_captures(cdx.parse_cdx_lines(df)).collect()
         assert len(kept) == 1 and kept[0]["warc_offset"] == 9
+
+
+class TestRecrawlSchedule:
+    DAY = 86_400
+
+    def _caps(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            rows, "surt string, ts_s string, digest string"
+        )
+        return df.select(
+            "surt", F.to_timestamp("ts_s").alias("fetch_ts"), "digest"
+        )
+
+    def test_change_rate_estimation_and_due(self, spark):
+        # com,a: 3 captures over 10 days, 3 versions -> span/(3-1) = 5 days.
+        # last capture Jan 11 + 5d = Jan 16 <= Feb 1 -> due.
+        # com,b: 2 same-digest captures -> never changed -> max interval
+        # (30d); Jan 11 + 30d = Feb 10 > Feb 1 -> not due.
+        df = self._caps(spark, [
+            ("com,a)/", "2024-01-01 00:00:00", "v1"),
+            ("com,a)/", "2024-01-06 00:00:00", "v2"),
+            ("com,a)/", "2024-01-11 00:00:00", "v3"),
+            ("com,b)/", "2024-01-01 00:00:00", "same"),
+            ("com,b)/", "2024-01-11 00:00:00", "same"),
+        ])
+        got = {
+            r["surt"]: r
+            for r in cdx.recrawl_schedule(df, "2024-02-01 00:00:00").collect()
+        }
+        a, b = got["com,a)/"], got["com,b)/"]
+        assert (a["n_captures"], a["n_versions"]) == (3, 3)
+        assert a["interval_s"] == 5 * self.DAY
+        assert a["next_due_ts"].strftime("%Y-%m-%d") == "2024-01-16"
+        assert a["due"] is True
+        assert (b["n_captures"], b["n_versions"]) == (2, 1)
+        assert b["interval_s"] == 30 * self.DAY and b["due"] is False
+
+    def test_interval_clamped_both_ways(self, spark):
+        # fast flapper: 3 versions within 2 hours -> raw est 1h, clamped UP
+        # to min_interval (1 day). stale drifter: 2 versions 90 days apart
+        # -> raw est 90d, clamped DOWN to max_interval (30 days).
+        df = self._caps(spark, [
+            ("com,fast)/", "2024-01-01 00:00:00", "v1"),
+            ("com,fast)/", "2024-01-01 01:00:00", "v2"),
+            ("com,fast)/", "2024-01-01 02:00:00", "v3"),
+            ("com,slow)/", "2024-01-01 00:00:00", "v1"),
+            ("com,slow)/", "2024-03-31 00:00:00", "v2"),
+        ])
+        got = {
+            r["surt"]: r["interval_s"]
+            for r in cdx.recrawl_schedule(df, "2024-04-01 00:00:00").collect()
+        }
+        assert got["com,fast)/"] == self.DAY
+        assert got["com,slow)/"] == 30 * self.DAY
+
+    def test_single_capture_gets_max_interval(self, spark):
+        df = self._caps(spark, [("com,one)/", "2024-01-01 00:00:00", "v1")])
+        r = cdx.recrawl_schedule(df, "2024-01-02 00:00:00").collect()[0]
+        assert (r["n_captures"], r["n_versions"]) == (1, 1)
+        assert r["interval_s"] == 30 * self.DAY and r["due"] is False
+
+    def test_two_partial_aggregated_exchanges_no_window_no_python(self, spark):
+        # count_distinct(digest) expands to the standard two-phase distinct
+        # aggregate: exchange on (surt, digest) then on surt — both behind
+        # map-side partial aggregation (one row per distinct pair / key
+        # crosses the wire, never one per capture). No window, no join.
+        df = self._caps(spark, [("com,a)/", "2024-01-01 00:00:00", "v1")])
+        plan = (
+            cdx.recrawl_schedule(df, "2024-02-01 00:00:00")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 2, plan
+        # each exchange is fed by a partial HashAggregate (map-side combine)
+        for seg in plan.split("Exchange")[1:]:
+            assert "HashAggregate" in seg, plan
+        assert "EvalPython" not in plan and "Window" not in plan
