@@ -1637,6 +1637,42 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic host mix exercising every registrable-domain branch:
+#: deep subdomains under a plain gTLD, sld.cc public suffixes (co.uk /
+#: com.au), IPv4 literals, and single-label hosts
+_DOMAIN_HOST_SQL = (
+    "CASE CAST(event_id % 6 AS INT) "
+    " WHEN 0 THEN 'www.board' || CAST(user_id AS STRING) || '.example.com' "
+    " WHEN 1 THEN 'a.b.site' || CAST(user_id % 40 AS STRING) || '.co.uk' "
+    " WHEN 2 THEN 'news' || CAST(user_id % 25 AS STRING) || '.com.au' "
+    " WHEN 3 THEN '10.0.' || CAST(user_id % 256 AS STRING) || '.7' "
+    " WHEN 4 THEN 'cdn' || CAST(user_id % 5 AS STRING) || '.static.example.net' "
+    " ELSE 'localhost' END"
+)
+
+
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 extraction (linkgraph.registrable_domain) + per-domain host
+    rollup — the grouping key the per-domain quota/reputation/politeness
+    policies use. The oracle replays the IDENTICAL Java∩RE2 regexes through
+    linkgraph.domain_sql, so the suffix logic is checked cross-engine on
+    every branch (sld.cc collapse, deep-subdomain fold, IP/single-label
+    passthrough)."""
+    ev = _read(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_events_tmp")
+    hosts = spark.sql(f"SELECT {_DOMAIN_HOST_SQL} AS host FROM _events_tmp")
+    return (
+        hosts.select(
+            linkgraph.registrable_domain("host").alias("domain"), "host"
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("host").alias("n_hosts"),
+        )
+    )
+
+
 def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style per-domain volume cap (textops.quota_cap): at most 10 docs
     per source, selected by the deterministic md5 draw — binds on every
@@ -1733,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "sitemap_urls": q_sitemap_urls,
         "domain_quota_sample": q_domain_quota_sample,
+        "registrable_domains": q_registrable_domains,
         "embedding_knn": q_embedding_knn,
         "embedding_near_dup": q_embedding_near_dup,
         # rows-only (no SQL equivalent):
@@ -2686,6 +2723,13 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id ASC) AS rn
               FROM documents)
             WHERE rn <= 10
+        """,
+        # eTLD+1 replayed through the identical regexes (linkgraph.domain_sql)
+        "registrable_domains": f"""
+            WITH h AS (SELECT {_DOMAIN_HOST_SQL} AS host FROM events),
+            d AS (SELECT host, {linkgraph.domain_sql('host')} AS domain FROM h)
+            SELECT domain, COUNT(*) AS n_rows, COUNT(DISTINCT host) AS n_hosts
+            FROM d GROUP BY domain
         """,
         "embedding_knn": """
             SELECT query_id, vec_id,

@@ -41,6 +41,7 @@ from bbcrawl_spark.operators.graphops import _CheckpointHandle, _persistent_ids
 
 __all__ = [
     "host_of_url",
+    "registrable_domain",
     "host_edges",
     "degree_stats",
     "pagerank",
@@ -68,6 +69,68 @@ HOST_SQL = (
     "regexp_extract({col}, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), "
     "':[0-9]+$', ''))"
 )
+
+
+#: second-level labels that act as public suffixes under a 2-letter ccTLD
+#: ("co" in bbc.co.uk, "com" in smh.com.au …) — the compact heuristic core
+#: of the Public Suffix List. The real PSL is ~9k rules and updated
+#: continuously; a production cluster loads it into ``extra_slds`` (the
+#: pluggable seam below) the same way the HTML parser / media codecs plug
+#: in. This default covers the dominant second-level registries.
+PSL_SLDS = (
+    "co", "com", "org", "net", "gov", "ac", "edu", "or", "ne", "mil",
+    "sch", "gob", "gouv", "asn", "id", "ltd", "plc",
+)
+
+_IP_RE = r"^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$"
+
+
+def _domain_regexes(extra_slds: tuple[str, ...]) -> tuple[str, str]:
+    slds = "|".join(PSL_SLDS + tuple(extra_slds))
+    # eTLD+1 when the suffix is "<sld>.<2-letter ccTLD>": one label + the
+    # two-level suffix, anchored at the end of the host
+    multi = rf"([^.]+\.(?:{slds})\.[a-z][a-z])$"
+    two = r"([^.]+\.[^.]+)$"
+    return multi, two
+
+
+def registrable_domain(
+    host: Column | str, extra_slds: tuple[str, ...] = ()
+) -> Column:
+    """Registrable domain (eTLD+1) of a lowercased host — the key
+    per-domain policies group on: C4-style volume caps (``quota_cap``),
+    RefinedWeb-style source reputation, and politeness budgets that must
+    treat ``a.example.com`` and ``b.example.com`` as one registrant.
+
+    Heuristic PSL: ``<label>.<sld>.<cc>`` when the second-level label is a
+    known public registry under a 2-letter ccTLD (``bbc.co.uk`` →
+    ``bbc.co.uk``), else the last two labels (``a.b.example.com`` →
+    ``example.com``); IPv4 literals and single-label hosts pass through
+    whole. Pure regex in the Java ∩ RE2 dialect so :data:`DOMAIN_SQL` can
+    replay it verbatim in the DuckDB oracle; ``extra_slds`` widens the
+    registry set (e.g. from a loaded Public Suffix List) without touching
+    callers.
+    """
+    host = F.col(host) if isinstance(host, str) else host
+    multi, two = _domain_regexes(extra_slds)
+    return F.when(host.rlike(_IP_RE), host).otherwise(
+        F.coalesce(
+            F.nullif(F.regexp_extract(host, multi, 1), F.lit("")),
+            F.nullif(F.regexp_extract(host, two, 1), F.lit("")),
+            host,
+        )
+    )
+
+
+def domain_sql(col: str, extra_slds: tuple[str, ...] = ()) -> str:
+    """DuckDB twin of :func:`registrable_domain` over a host expression —
+    the identical regexes, replayed with DuckDB's primitives."""
+    multi, two = _domain_regexes(extra_slds)
+    return (
+        f"CASE WHEN regexp_matches({col}, '{_IP_RE}') THEN {col} "
+        f"ELSE coalesce(nullif(regexp_extract({col}, '{multi}', 1), ''), "
+        f"nullif(regexp_extract({col}, '{two}', 1), ''), {col}) END"
+    )
 
 
 def host_edges(

@@ -324,3 +324,86 @@ def test_top_anchor_counts_and_tie_break(spark):
     assert (t.top_anchor, t.n_top, t.n_links) == ("alpha", 2, 5)
     u = got["u.example.com"]
     assert (u.top_anchor, u.n_top, u.n_links) == ("only", 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# registrable_domain (eTLD+1)
+# ---------------------------------------------------------------------------
+
+
+DOMAIN_CASES = [
+    ("www.bbc.co.uk", "bbc.co.uk"),          # sld.cc suffix
+    ("a.b.smh.com.au", "smh.com.au"),        # deep subdomain under sld.cc
+    ("example.gob.mx", "example.gob.mx"),    # non-English registry label
+    ("a.b.example.com", "example.com"),      # plain gTLD -> last two labels
+    ("example.com", "example.com"),
+    ("web.archive.org", "archive.org"),      # .org is not a 2-letter cc
+    ("a.b.co", "b.co"),                      # "co" ccTLD itself, not a suffix
+    ("10.0.42.7", "10.0.42.7"),              # IPv4 literal passes whole
+    ("localhost", "localhost"),              # single label passes whole
+]
+
+
+def test_registrable_domain_cases(spark):
+    df = spark.createDataFrame([(h,) for h, _ in DOMAIN_CASES], "host string")
+    got = [
+        r["d"]
+        for r in df.select(
+            linkgraph.registrable_domain("host").alias("d")
+        ).collect()
+    ]
+    assert got == [want for _, want in DOMAIN_CASES]
+
+
+def test_registrable_domain_extra_slds_widen_the_registry(spark):
+    # "web" is not a default registry label; plugging it in (the PSL-load
+    # seam) turns web.example.za-style hosts into three-label domains
+    df = spark.createDataFrame([("x.web.za",), ("a.x.web.za",)], "host string")
+    default = [
+        r["d"] for r in df.select(
+            linkgraph.registrable_domain("host").alias("d")).collect()
+    ]
+    widened = [
+        r["d"] for r in df.select(
+            linkgraph.registrable_domain("host", ("web",)).alias("d")).collect()
+    ]
+    assert default == ["web.za", "web.za"]
+    assert widened == ["x.web.za", "x.web.za"]
+
+
+def test_domain_sql_is_an_exact_cross_engine_twin(spark):
+    # the DuckDB replay of the same regexes must agree host-for-host —
+    # this is what lets driver oracles group by domain non-circularly
+    import duckdb
+
+    con = duckdb.connect()
+    hosts = "[" + ", ".join(f"'{h}'" for h, _ in DOMAIN_CASES) + "]"
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {linkgraph.domain_sql('host')} "
+            f"FROM (SELECT unnest({hosts}) AS host)"
+        ).fetchall()
+    ]
+    assert duck == [want for _, want in DOMAIN_CASES]
+
+
+def test_quota_cap_composes_with_registrable_domain(spark):
+    # the C4 per-domain cap keyed on eTLD+1: sibling hosts of one
+    # registrant share a single quota instead of getting one each
+    from pyspark.sql import functions as F
+
+    from bbcrawl_spark.operators import textops
+
+    rows = [(i, f"h{i % 4}.example.com" if i % 2 == 0 else f"s{i % 4}.bbc.co.uk")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    capped = textops.quota_cap(
+        df.withColumn("domain", linkgraph.registrable_domain("host")),
+        quota=5, group_col="domain",
+    )
+    got = {
+        r["domain"]: r["n"]
+        for r in capped.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {"example.com": 5, "bbc.co.uk": 5}
