@@ -131,3 +131,24 @@ def test_compact_shrinks_files_keeps_rows_and_bucketing(spark, tmp_path):
             bucketed.anti_join_new(_hashes(spark, 0, 10), spark, "seen_bkt_e")
         )
     assert plan.count("Exchange") == 1 and "Bucketed: true" in plan
+
+
+def test_bucketed_store_is_a_drop_in_exact_confirm_backend(spark, tmp_path):
+    """Integration: a seen snapshot read from the warehouse, re-laid-out as
+    the bucketed table, confirms the same survivor set the round loop's
+    dedup_against_seen computes — with the seen side never re-shuffled."""
+    from bbcrawl_spark.operators import dedup
+    from bbcrawl_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write("seen", _hashes(spark, 0, 5_000))
+    snap = wh.read("seen")
+    bucketed.write_bucketed(snap, "seen_bkt_f", str(tmp_path / "bkt"), BUCKETS)
+    cand = _hashes(spark, 2_500, 7_500)
+    want = {r["url_hash"] for r in dedup.dedup_against_seen(cand, snap).collect()}
+    with _no_broadcast(spark):
+        got = {
+            r["url_hash"]
+            for r in bucketed.anti_join_new(cand, spark, "seen_bkt_f").collect()
+        }
+    assert got == want and len(got) == 2_500

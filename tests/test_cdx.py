@@ -196,3 +196,54 @@ class TestRecrawlSchedule:
         for seg in plan.split("Exchange")[1:]:
             assert "HashAggregate" in seg, plan
         assert "EvalPython" not in plan and "Window" not in plan
+
+
+def test_due_recrawls_feed_the_crawl_frontier(spark):
+    """Integration: recrawl planning ends in the scheduler — due SURTs join
+    back to their latest capture's URL, become frontier candidates, and
+    politeness-rank per host like any sitemap/pager batch."""
+    from pyspark.sql import functions as F
+
+    from bbcrawl_spark.functions import udfs
+    from bbcrawl_spark.operators import politeness
+
+    def cap(surt, url, ts, digest):
+        return (
+            f'{surt} {ts} {{"url": "{url}", "status": "200", '
+            f'"digest": "sha1:{digest}", "offset": "1", "filename": "f.warc.gz"}}'
+        )
+
+    lines = spark.createDataFrame(
+        [
+            # a: changed across captures -> est 10d -> due by Feb 1
+            (cap("com,a)/", "http://a.com/", "20240101000000", "v1"),),
+            (cap("com,a)/", "http://a.com/", "20240111000000", "v2"),),
+            # b: never changed -> max interval 30d -> NOT due by Feb 1
+            (cap("com,b)/", "http://b.com/", "20240101000000", "same"),),
+            (cap("com,b)/", "http://b.com/", "20240111000000", "same"),),
+            # c: changed -> due
+            (cap("com,c)/", "http://c.com/", "20240101000000", "x1"),),
+            (cap("com,c)/", "http://c.com/", "20240106000000", "x2"),),
+        ],
+        "line string",
+    )
+    parsed = cdx.parse_cdx_lines(lines)
+    due = (
+        cdx.recrawl_schedule(parsed, "2024-02-01 00:00:00")
+        .filter("due")
+        .select("surt")
+    )
+    cand = (
+        cdx.latest_captures(parsed)
+        .join(due, "surt")
+        .select(
+            "url",
+            udfs.host_of("url").alias("host"),
+            F.lit(1).alias("priority"),
+            F.lit(1).alias("page_num"),
+        )
+        .withColumn("url_hash", udfs.url_hash_col("url"))
+    )
+    ranked = politeness.rank_fetch_slots(cand, budget=5)
+    scheduled = {r["url"] for r in ranked.filter("scheduled").collect()}
+    assert scheduled == {"http://a.com/", "http://c.com/"}
