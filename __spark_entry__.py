@@ -150,6 +150,30 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select("event_id", udfs.canonicalize_col("url").alias("canon_url"))
 
 
+#: appends campaign/session trackers to the synthetic URLs — after the '?'
+#: when a query exists, as the query otherwise — so the alias-folding pass
+#: has both join points to clean (shared verbatim with the DuckDB oracle)
+_ALIAS_DECO_SQL = (
+    "CASE WHEN instr(url, '?') > 0 "
+    "THEN url || '&utm_source=feed&gclid=g' || CAST(event_id % 3 AS STRING) "
+    "ELSE url || '?b=2&utm_campaign=x&a=1' END"
+)
+
+
+def q_url_alias_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL alias folding (udfs.normalize_query_col): strip tracking/session
+    query params and byte-sort the survivors, so campaign-tagged and
+    re-ordered variants of one page share a seen-set key. Oracle replays
+    the identical regex filter + sort with DuckDB's list primitives
+    (list_filter/list_sort/array_to_string — empty-list join coalesced to
+    '' where Spark already returns '')."""
+    u = _events_urls(spark, sf_dir)
+    deco = u.select("event_id", F.expr(_ALIAS_DECO_SQL).alias("durl"))
+    return deco.select(
+        "event_id", udfs.normalize_query_col("durl").alias("norm_url")
+    )
+
+
 def q_seen_dedup_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/J1 over events: candidate urls (clicks) anti-joined against the
     seen set (urls of error events)."""
@@ -1718,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_vb4": q_frontier_vb4,
         "frontier_query": q_frontier_query,
         "url_canonicalize": q_url_canonicalize,
+        "url_alias_fold": q_url_alias_fold,
         "seen_dedup_antijoin": q_seen_dedup_antijoin,
         "bucketed_seen_antijoin": q_bucketed_seen_antijoin,
         "exclude_filter": q_exclude_filter,
@@ -1865,6 +1890,25 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": f"""
             {_URL_CTE}
             SELECT event_id, {_CANON_SQL} AS canon_url FROM u
+        """,
+        "url_alias_fold": f"""
+            {_URL_CTE},
+            deco AS (SELECT event_id, {_ALIAS_DECO_SQL} AS durl FROM u),
+            p AS (SELECT event_id,
+                    regexp_extract(durl, '^([^?#]*)', 1) AS pre,
+                    regexp_extract(durl, '^[^#]*\\?([^#]*)', 1) AS q,
+                    regexp_extract(durl, '^[^#]*(#.*)', 1) AS frag
+                  FROM deco),
+            c AS (SELECT event_id, pre, frag,
+                    coalesce(array_to_string(list_sort(list_filter(
+                      string_split(q, '&'),
+                      x -> NOT regexp_matches(x, '{udfs.TRACKING_PARAMS_RE}'))), '&'), '')
+                    AS cleaned
+                  FROM p)
+            SELECT event_id,
+                   pre || CASE WHEN cleaned = '' THEN ''
+                               ELSE '?' || cleaned END || frag AS norm_url
+            FROM c
         """,
         "seen_dedup_antijoin": f"""
             {_URL_CTE}

@@ -73,6 +73,53 @@ def url_hash_col(url: Column | str) -> Column:
     return F.xxhash64(canonicalize_col(url))
 
 
+#: query parameters that identify a CLICK, not a PAGE — ad/campaign and
+#: session trackers every large crawl strips before frontier dedup, or the
+#: same document enters the corpus once per referral campaign. Kept as a
+#: regex alternation in the Java ∩ RE2 dialect so DuckDB oracles replay it.
+TRACKING_PARAMS_RE = (
+    r"^(utm_[a-z]+|gclid|gclsrc|dclid|fbclid|msclkid|twclid|igshid|mc_cid"
+    r"|mc_eid|yclid|_hsenc|_hsmi|hsCtaTracking|ref_src|ref_url|spm|sessionid"
+    r"|phpsessid|jsessionid|sid)="
+)
+
+
+def normalize_query_col(
+    url: Column | str,
+    drop_re: str = TRACKING_PARAMS_RE,
+    sort_params: bool = True,
+) -> Column:
+    """URL-aliasing reduction for frontier dedup: drop tracking/session
+    query parameters and (by default) sort the survivors by byte order, so
+    ``?b=2&utm_source=x&a=1`` and ``?a=1&b=2`` collapse to one seen-set key.
+
+    Composes in FRONT of ``canonicalize_col``/``url_hash_col`` — the crawl
+    keys on ``xxhash64(canonicalize(normalize_query(url)))`` when alias
+    folding is wanted. Pure JVM array expressions (split → filter →
+    array_sort → rejoin) riding the scan: zero exchanges, zero Python, and
+    the regex dialect lets a DuckDB oracle replay the identical pass.
+
+    Deliberately NOT part of ``canonicalize_col`` itself: the reference's
+    canonical form keeps the query verbatim (F13 parity, bit-exact hash
+    contract), so alias folding is an opt-in layer above it. Parameter
+    order is meaningful to some endpoints — ``sort_params=False`` keeps
+    order and only strips trackers.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    pre = F.regexp_extract(url, r"^([^?#]*)", 1)
+    query = F.regexp_extract(url, r"^[^#]*\?([^#]*)", 1)
+    frag = F.regexp_extract(url, r"^[^#]*(#.*)", 1)
+    kept = F.filter(F.split(query, "&"), lambda p: ~p.rlike(drop_re))
+    if sort_params:
+        kept = F.array_sort(kept)
+    cleaned = F.array_join(kept, "&")
+    return F.concat(
+        pre,
+        F.when(cleaned == "", F.lit("")).otherwise(F.concat(F.lit("?"), cleaned)),
+        frag,
+    )
+
+
 # ---------------------------------------------------------------------------
 # pandas UDFs (Arrow-batched; each wraps the pure extraction core)
 # ---------------------------------------------------------------------------

@@ -231,3 +231,90 @@ class TestHostOf:
         )
         rows = df.select(udfs.host_of("url").alias("h")).collect()
         assert [r["h"] for r in rows] == ["a.example.com", "h"]
+
+
+class TestNormalizeQuery:
+    CASES = [
+        # trackers stripped, survivors sorted
+        ("http://h.example/p?b=2&utm_source=x&a=1", "http://h.example/p?a=1&b=2"),
+        ("http://h.example/p?gclid=abc&fbclid=def", "http://h.example/p"),
+        ("http://h.example/p?a=1&jsessionid=Z9", "http://h.example/p?a=1"),
+        # no query / already clean
+        ("http://h.example/p", "http://h.example/p"),
+        ("http://h.example/p?a=1", "http://h.example/p?a=1"),
+        # fragment preserved (canonicalize drops it later, separately)
+        ("http://h.example/p?utm_medium=m&z=1#sec", "http://h.example/p?z=1#sec"),
+        # a '?' inside the fragment is NOT a query
+        ("http://h.example/p#frag?utm_source=x", "http://h.example/p#frag?utm_source=x"),
+        # utm_ prefix must be a parameter NAME, not a value
+        ("http://h.example/p?q=utm_source", "http://h.example/p?q=utm_source"),
+    ]
+
+    def test_expected(self, spark):
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "u string")
+        got = [
+            r["n"]
+            for r in df.select(udfs.normalize_query_col("u").alias("n")).collect()
+        ]
+        assert got == [want for _, want in self.CASES]
+
+    def test_sort_off_keeps_order(self, spark):
+        df = spark.createDataFrame(
+            [("http://h/p?b=2&utm_source=x&a=1",)], "u string"
+        )
+        got = df.select(
+            udfs.normalize_query_col("u", sort_params=False).alias("n")
+        ).collect()[0]["n"]
+        assert got == "http://h/p?b=2&a=1"
+
+    def test_folds_aliases_onto_one_seen_key(self, spark):
+        # the point of the pass: campaign-tagged and re-ordered variants of
+        # one page hash to ONE url_hash after normalize -> canonicalize
+        variants = [
+            "http://h.example/p?a=1&b=2",
+            "http://h.example/p?b=2&a=1",
+            "http://h.example/p?utm_campaign=news&a=1&b=2",
+            "HTTP://h.example:80/p?gclid=x&b=2&a=1#top",
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], "u string")
+        hashes = {
+            r["h"]
+            for r in df.select(
+                udfs.url_hash_col(udfs.normalize_query_col("u")).alias("h")
+            ).collect()
+        }
+        assert len(hashes) == 1
+
+    def test_stays_jvm(self, spark):
+        df = spark.createDataFrame([("http://h/p?a=1",)], "u string")
+        plan = (
+            df.select(udfs.normalize_query_col("u").alias("n"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan and "Exchange" not in plan
+
+    def test_duckdb_replays_identically(self, spark):
+        import duckdb
+
+        con = duckdb.connect()
+        urls = "[" + ", ".join(f"'{u}'" for u, _ in self.CASES) + "]"
+        duck = [
+            r[0]
+            for r in con.execute(f"""
+                WITH u AS (SELECT unnest({urls}) AS url),
+                p AS (SELECT url,
+                        regexp_extract(url, '^([^?#]*)', 1) AS pre,
+                        regexp_extract(url, '^[^#]*\\?([^#]*)', 1) AS q,
+                        regexp_extract(url, '^[^#]*(#.*)', 1) AS frag
+                      FROM u),
+                -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's is ''
+                c AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+                        string_split(q, '&'),
+                        x -> NOT regexp_matches(x, '{udfs.TRACKING_PARAMS_RE}'))), '&'), '') AS cleaned
+                      FROM p)
+                SELECT pre || CASE WHEN cleaned = '' THEN ''
+                                   ELSE '?' || cleaned END || frag
+                FROM c
+            """).fetchall()
+        ]
+        assert duck == [want for _, want in self.CASES]
