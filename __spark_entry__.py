@@ -1559,6 +1559,19 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.pagerank(e, iterations=5, assume_distinct=True)
 
 
+def q_seed_expansion_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded seed expansion (linkgraph.k_hop_hosts): hosts within 2 link
+    hops of a two-seed list over the synthetic host graph, labeled with
+    min-hop BFS levels. Oracle: DuckDB recursive CTE over the SAME
+    host-edge CTE the degree/pagerank oracles use, bounded by hop < k,
+    MIN(hop) per host — the label-flood pattern the CC oracle established,
+    here directed and depth-bounded."""
+    e = linkgraph.host_edges(_events_links(spark, sf_dir))
+    return linkgraph.k_hop_hosts(
+        e, ["forum1.example.com", "forum2.example.com"], 2
+    )
+
+
 def q_crawl_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap detection (linkgraph.crawl_trap_stats) over the
     synthetic URL corpus: cdn hosts collapse ~25 URLs onto ONE digit
@@ -1789,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_due": q_recrawl_due,
         "link_graph_degrees": q_link_graph_degrees,
         "pagerank_hosts": q_pagerank_hosts,
+        "seed_expansion_hosts": q_seed_expansion_hosts,
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "anchor_text_top": q_anchor_text_top,
         "robots_sitemaps": q_robots_sitemaps,
@@ -2695,6 +2709,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY host
         """,
         "pagerank_hosts": _pagerank_oracle_sql(iterations=5),
+        "seed_expansion_hosts": f"""
+            {_LINK_CTE.replace("WITH l AS", "WITH RECURSIVE l AS", 1)}{_HOST_EDGE_CTE},
+            reach(host, hop) AS (
+              SELECT * FROM (VALUES ('forum1.example.com', 0),
+                                    ('forum2.example.com', 0)) t(host, hop)
+              UNION
+              SELECT he.dst_host, r.hop + 1
+              FROM reach r JOIN he ON he.src_host = r.host
+              WHERE r.hop < 2)
+            SELECT host, MIN(hop) AS hop FROM reach GROUP BY host
+        """,
         "crawl_trap_hosts": f"""
             {_URL_CTE},
             h AS (SELECT {_host_sql('url')} AS host, url,

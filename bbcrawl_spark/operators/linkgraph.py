@@ -45,6 +45,7 @@ __all__ = [
     "host_edges",
     "degree_stats",
     "pagerank",
+    "k_hop_hosts",
     "crawl_trap_stats",
     "top_anchor",
 ]
@@ -370,6 +371,80 @@ def pagerank(
 #: digit-run normalization shared by trap detection in BOTH engines:
 #: the template of /thread/12345/page6 is /thread/N/pageN.
 TEMPLATE_PATTERN = "[0-9]+"
+
+
+def k_hop_hosts(
+    edges: DataFrame,
+    seeds: DataFrame | list,
+    k: int,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    cache: list | None = None,
+) -> DataFrame:
+    """Directed bounded reachability: every host within ``k`` link hops of
+    a seed set, labeled with its minimum hop distance (BFS levels).
+    Returns ``(host, hop)`` — hop 0 is the seed list itself.
+
+    Crawl planning: a focused crawl budgets by DEPTH from its seed list
+    (the reference crawls a seed's own pagination; the cross-SITE frontier
+    a seed list implies is its host neighborhood). The min-hop label is
+    what a depth-limited scheduler keys its budget on, and the hop-k ring
+    is the candidate set for the next crawl expansion.
+
+    Per round: frontier ⋈ edges on the host key (ONE hash join), distinct,
+    anti-join the visited set — so a round's cost is proportional to the
+    frontier's out-neighborhood, never to the full reachable set. Visited
+    is checkpoint-pinned per round with eager release of the previous
+    round's blocks (the connected_components / pagerank hygiene): lineage
+    stays O(1) deep however large ``k`` is. The loop exits early when a
+    round discovers nothing new (one control-plane count per round — the
+    CC convergence-counter precedent). Pass ``cache`` (a list) to receive
+    the final checkpoint handle and free it after consuming the result.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    spark = edges.sparkSession
+    jsc = spark.sparkContext._jsc
+    if isinstance(seeds, (list, tuple)):
+        seeds_df = spark.createDataFrame([(s,) for s in seeds], "host string")
+    else:
+        seeds_df = seeds.select(F.col(seeds.columns[0]).alias("host"))
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    pre = _persistent_ids(jsc)
+    e = e.localCheckpoint()
+    e_pinned = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
+
+    pre = _persistent_ids(jsc)
+    visited = (
+        seeds_df.distinct()
+        .select("host", F.lit(0).cast("int").alias("hop"))
+        .localCheckpoint()
+    )
+    backing = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
+    n_visited = visited.count()
+    frontier = visited.select("host")
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["host"] == e["_s"])
+            .select(F.col("_d").alias("host"))
+            .distinct()
+            .join(visited.select("host"), "host", "left_anti")
+            .select("host", F.lit(h).cast("int").alias("hop"))
+        )
+        pre = _persistent_ids(jsc)
+        new_visited = visited.unionByName(nxt).localCheckpoint()
+        new_backing = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
+        n_new = new_visited.count()
+        backing.unpersist()
+        visited, backing = new_visited, new_backing
+        if n_new == n_visited:  # frontier dried up before hop k
+            break
+        n_visited = n_new
+        frontier = visited.filter(F.col("hop") == h).select("host")
+    e_pinned.unpersist()
+    if cache is not None:
+        cache.append(backing)
+    return visited
 
 
 def crawl_trap_stats(

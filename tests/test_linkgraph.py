@@ -407,3 +407,52 @@ def test_quota_cap_composes_with_registrable_domain(spark):
         for r in capped.groupBy("domain").agg(F.count("*").alias("n")).collect()
     }
     assert got == {"example.com": 5, "bbc.co.uk": 5}
+
+
+# ---------------------------------------------------------------------------
+# k_hop_hosts (seed expansion)
+# ---------------------------------------------------------------------------
+
+
+def _khop(spark, edges, seeds, k):
+    e = _edges_df(spark, [(s, d, 1) for s, d in edges])
+    return {
+        r["host"]: r["hop"]
+        for r in linkgraph.k_hop_hosts(e, seeds, k).collect()
+    }
+
+
+def test_k_hop_levels_and_bound(spark):
+    chain = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert _khop(spark, chain, ["a"], 2) == {"a": 0, "b": 1, "c": 2}
+    assert _khop(spark, chain, ["a"], 0) == {"a": 0}
+
+
+def test_k_hop_min_distance_on_diamond(spark):
+    # d is reachable via two paths of length 2 -> ONE row, hop 2
+    diamond = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    got = _khop(spark, diamond, ["a"], 3)
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
+def test_k_hop_cycle_terminates_early(spark):
+    # a->b->a: everything is visited by hop 1; k=50 must early-exit, not spin
+    got = _khop(spark, [("a", "b"), ("b", "a")], ["a"], 50)
+    assert got == {"a": 0, "b": 1}
+
+
+def test_k_hop_respects_direction_and_multi_seeds(spark):
+    edges = [("z", "a"), ("a", "b"), ("q", "r")]
+    # in-link z->a does NOT pull z in; second seed expands independently
+    got = _khop(spark, edges, ["a", "q"], 2)
+    assert got == {"a": 0, "q": 0, "b": 1, "r": 1}
+
+
+def test_k_hop_seed_dataframe_and_cache_release(spark):
+    e = _edges_df(spark, [("a", "b", 1)])
+    seeds = spark.createDataFrame([("a",)], "host string")
+    cache: list = []
+    got = linkgraph.k_hop_hosts(e, seeds, 1, cache=cache)
+    assert {(r["host"], r["hop"]) for r in got.collect()} == {("a", 0), ("b", 1)}
+    assert len(cache) == 1
+    cache[0].unpersist()
