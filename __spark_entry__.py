@@ -1442,6 +1442,34 @@ def q_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-driven range-fetch planning (cdx.fetch_plan): chosen captures
+    cut into per-WARC-segment offset-ordered task runs (read_seq /
+    task_id) with per-segment totals. Oracle replays both windows with
+    DuckDB's own row_number/count/sum over the same synthesized
+    (filename, offset, length) captures."""
+    from bbcrawl_spark.sources import cdx
+
+    d = _read(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    caps = d.select(
+        F.concat(
+            F.lit("http://www."), F.col("source"), F.lit(".example.com/doc/"),
+            (doc_id % 400).cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("crawl-"), F.col("source"), F.lit(".warc.gz")).alias(
+            "warc_filename"
+        ),
+        (doc_id * 1000).alias("warc_offset"),
+        F.col("n_chars").cast("long").alias("warc_length"),
+    )
+    plan = cdx.fetch_plan(caps, ranges_per_task=10)
+    return plan.select(
+        "url", "warc_filename", "warc_offset", "read_seq", "task_id",
+        "n_file_ranges", "file_bytes",
+    )
+
+
 # --- link-graph ops ---------------------------------------------------------
 
 #: deterministic synthetic link extraction built from the events table —
@@ -1800,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "cdx_latest_captures": q_cdx_latest_captures,
         "recrawl_due": q_recrawl_due,
+        "warc_fetch_plan": q_warc_fetch_plan,
         "link_graph_degrees": q_link_graph_degrees,
         "pagerank_hosts": q_pagerank_hosts,
         "seed_expansion_hosts": q_seed_expansion_hosts,
@@ -2588,6 +2617,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(last_ts + interval_s * INTERVAL 1 SECOND
                         <= TIMESTAMP '2024-02-10 00:00:00' AS INT) AS due_int
             FROM iv
+        """,
+        "warc_fetch_plan": """
+            WITH caps AS (
+              SELECT 'http://www.' || source || '.example.com/doc/'
+                       || CAST(doc_id % 400 AS STRING) AS url,
+                     'crawl-' || source || '.warc.gz' AS warc_filename,
+                     doc_id * 1000 AS warc_offset,
+                     CAST(n_chars AS BIGINT) AS warc_length
+              FROM documents)
+            SELECT url, warc_filename, warc_offset,
+                   CAST(ROW_NUMBER() OVER w - 1 AS INT) AS read_seq,
+                   (ROW_NUMBER() OVER w - 1) // 10 AS task_id,
+                   CAST(COUNT(*) OVER (PARTITION BY warc_filename) AS BIGINT)
+                     AS n_file_ranges,
+                   CAST(SUM(warc_length) OVER (PARTITION BY warc_filename)
+                     AS BIGINT) AS file_bytes
+            FROM caps
+            WINDOW w AS (PARTITION BY warc_filename
+                         ORDER BY warc_offset, warc_length, url)
         """,
         "pii_redaction": pii_sql,
         # 5-gram shingles (same short-doc whole-text fallback as the Spark

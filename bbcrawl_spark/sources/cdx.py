@@ -36,6 +36,7 @@ __all__ = [
     "read_cdx",
     "latest_captures",
     "recrawl_schedule",
+    "fetch_plan",
 ]
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*):"
@@ -214,4 +215,45 @@ def recrawl_schedule(
         .withColumn("next_due_ts", F.timestamp_seconds(F.col("_last_s") + F.col("interval_s")))
         .withColumn("due", F.col("_last_s") + F.col("interval_s") <= now_s)
         .drop("_first_s", "_last_s")
+    )
+
+
+def fetch_plan(df: DataFrame, ranges_per_task: int = 256) -> DataFrame:
+    """Turn chosen captures into a segment-local sequential fetch plan —
+    the last step of index-driven crawling: having picked WHICH captures
+    to take (``latest_captures`` / ``recrawl_schedule``), decide HOW to
+    read their ``(warc_filename, warc_offset, warc_length)`` ranges.
+
+    Ranges of one WARC segment are ordered by offset and cut into runs of
+    ``ranges_per_task``, so each fetch task issues monotonically-forward
+    range reads against ONE segment file — a sequential sweep instead of
+    random GETs scattered across ~300 × 1 GB files (object stores and
+    spinning HDFS both reward this by an order of magnitude; it is also
+    what lets a task coalesce adjacent ranges into single requests).
+
+    Adds per capture: ``read_seq`` (0-based offset order within the file),
+    ``task_id`` (``read_seq div ranges_per_task`` — contiguous runs share a
+    task), ``n_file_ranges`` and ``file_bytes`` (per-segment totals, the
+    skew signal a scheduler balances waves by).  ONE hash exchange on
+    ``warc_filename``; both window frames reuse that single partitioning,
+    and a segment holds at most ~10^5 records (bounded by its 1 GB size),
+    so no per-file partition can blow up.  Deterministic: ties break on
+    (offset, length, url).
+    """
+    order = [
+        F.col("warc_offset").asc_nulls_last(),
+        F.col("warc_length").asc_nulls_last(),
+    ]
+    if "url" in df.columns:
+        order.append(F.col("url").asc_nulls_last())
+    wseq = Window.partitionBy("warc_filename").orderBy(*order)
+    wfile = Window.partitionBy("warc_filename")
+    return (
+        df.withColumn("read_seq", F.row_number().over(wseq) - 1)
+        .withColumn("task_id", F.expr(f"read_seq div {int(ranges_per_task)}"))
+        .withColumn("n_file_ranges", F.count("*").over(wfile))
+        .withColumn(
+            "file_bytes",
+            F.sum(F.coalesce(F.col("warc_length"), F.lit(0))).over(wfile),
+        )
     )

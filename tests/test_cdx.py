@@ -247,3 +247,38 @@ def test_due_recrawls_feed_the_crawl_frontier(spark):
     ranked = politeness.rank_fetch_slots(cand, budget=5)
     scheduled = {r["url"] for r in ranked.filter("scheduled").collect()}
     assert scheduled == {"http://a.com/", "http://c.com/"}
+
+
+class TestFetchPlan:
+    def _caps(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, warc_filename string, warc_offset long, warc_length long"
+        )
+
+    def test_offset_order_task_runs_and_file_totals(self, spark):
+        df = self._caps(spark, [
+            ("u3", "seg-a.warc.gz", 300, 10),
+            ("u1", "seg-a.warc.gz", 100, 20),
+            ("u2", "seg-a.warc.gz", 200, 30),
+            ("u9", "seg-b.warc.gz", 50, 5),
+        ])
+        got = {
+            r["url"]: r
+            for r in cdx.fetch_plan(df, ranges_per_task=2).collect()
+        }
+        # read_seq follows offset order WITHIN each file
+        assert [got[u]["read_seq"] for u in ("u1", "u2", "u3")] == [0, 1, 2]
+        assert got["u9"]["read_seq"] == 0
+        # contiguous offset runs share a task
+        assert [got[u]["task_id"] for u in ("u1", "u2", "u3")] == [0, 0, 1]
+        # per-file totals
+        assert got["u1"]["n_file_ranges"] == 3 and got["u1"]["file_bytes"] == 60
+        assert got["u9"]["n_file_ranges"] == 1 and got["u9"]["file_bytes"] == 5
+
+    def test_single_exchange_both_windows_reuse_it(self, spark):
+        df = self._caps(spark, [("u", "f", 1, 1)])
+        plan = (
+            cdx.fetch_plan(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+        assert "EvalPython" not in plan
