@@ -1463,10 +1463,13 @@ def q_warc_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (doc_id * 1000).alias("warc_offset"),
         F.col("n_chars").cast("long").alias("warc_length"),
     )
-    plan = cdx.fetch_plan(caps, ranges_per_task=10)
+    # offsets stride 20,000 within a file and lengths span 48-553, so a
+    # 19,700 gap threshold coalesces roughly half the consecutive pairs —
+    # both request outcomes exercised at the gate SF
+    plan = cdx.fetch_plan(caps, ranges_per_task=10, coalesce_gap=19_700)
     return plan.select(
         "url", "warc_filename", "warc_offset", "read_seq", "task_id",
-        "n_file_ranges", "file_bytes",
+        "n_file_ranges", "file_bytes", "request_id",
     )
 
 
@@ -2625,17 +2628,31 @@ def oracle_sql() -> dict[str, str]:
                      'crawl-' || source || '.warc.gz' AS warc_filename,
                      doc_id * 1000 AS warc_offset,
                      CAST(n_chars AS BIGINT) AS warc_length
-              FROM documents)
+              FROM documents),
+            p1 AS (
+              SELECT *, ROW_NUMBER() OVER w - 1 AS rs,
+                     lag(warc_offset + warc_length) OVER w AS prev_end,
+                     COUNT(*) OVER (PARTITION BY warc_filename) AS nfr,
+                     SUM(warc_length) OVER (PARTITION BY warc_filename) AS fb
+              FROM caps
+              WINDOW w AS (PARTITION BY warc_filename
+                           ORDER BY warc_offset, warc_length, url)),
+            p2 AS (
+              SELECT *, CASE WHEN prev_end IS NULL
+                               OR warc_offset - prev_end > 19700
+                             THEN 1 ELSE 0 END AS brk
+              FROM p1)
             SELECT url, warc_filename, warc_offset,
-                   CAST(ROW_NUMBER() OVER w - 1 AS INT) AS read_seq,
-                   (ROW_NUMBER() OVER w - 1) // 10 AS task_id,
-                   CAST(COUNT(*) OVER (PARTITION BY warc_filename) AS BIGINT)
-                     AS n_file_ranges,
-                   CAST(SUM(warc_length) OVER (PARTITION BY warc_filename)
-                     AS BIGINT) AS file_bytes
-            FROM caps
-            WINDOW w AS (PARTITION BY warc_filename
-                         ORDER BY warc_offset, warc_length, url)
+                   CAST(rs AS INT) AS read_seq,
+                   rs // 10 AS task_id,
+                   CAST(nfr AS BIGINT) AS n_file_ranges,
+                   CAST(fb AS BIGINT) AS file_bytes,
+                   CAST(SUM(brk) OVER (
+                     PARTITION BY warc_filename
+                     ORDER BY warc_offset, warc_length, url
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                     AS BIGINT) AS request_id
+            FROM p2
         """,
         "pii_redaction": pii_sql,
         # 5-gram shingles (same short-doc whole-text fallback as the Spark

@@ -218,7 +218,11 @@ def recrawl_schedule(
     )
 
 
-def fetch_plan(df: DataFrame, ranges_per_task: int = 256) -> DataFrame:
+def fetch_plan(
+    df: DataFrame,
+    ranges_per_task: int = 256,
+    coalesce_gap: int | None = None,
+) -> DataFrame:
     """Turn chosen captures into a segment-local sequential fetch plan —
     the last step of index-driven crawling: having picked WHICH captures
     to take (``latest_captures`` / ``recrawl_schedule``), decide HOW to
@@ -234,8 +238,13 @@ def fetch_plan(df: DataFrame, ranges_per_task: int = 256) -> DataFrame:
     Adds per capture: ``read_seq`` (0-based offset order within the file),
     ``task_id`` (``read_seq div ranges_per_task`` — contiguous runs share a
     task), ``n_file_ranges`` and ``file_bytes`` (per-segment totals, the
-    skew signal a scheduler balances waves by).  ONE hash exchange on
-    ``warc_filename``; both window frames reuse that single partitioning,
+    skew signal a scheduler balances waves by).  With ``coalesce_gap``
+    set, also ``request_id``: consecutive ranges whose gap (next offset −
+    previous end) is ≤ the threshold share one id — the unit a fetcher
+    turns into a SINGLE HTTP range request, reading the small gap bytes
+    and discarding them (cheaper than a second round-trip; offset-ordering
+    exists precisely to make these runs visible).  ONE hash exchange on
+    ``warc_filename``; every window frame reuses that single partitioning,
     and a segment holds at most ~10^5 records (bounded by its 1 GB size),
     so no per-file partition can blow up.  Deterministic: ties break on
     (offset, length, url).
@@ -248,7 +257,7 @@ def fetch_plan(df: DataFrame, ranges_per_task: int = 256) -> DataFrame:
         order.append(F.col("url").asc_nulls_last())
     wseq = Window.partitionBy("warc_filename").orderBy(*order)
     wfile = Window.partitionBy("warc_filename")
-    return (
+    out = (
         df.withColumn("read_seq", F.row_number().over(wseq) - 1)
         .withColumn("task_id", F.expr(f"read_seq div {int(ranges_per_task)}"))
         .withColumn("n_file_ranges", F.count("*").over(wfile))
@@ -257,3 +266,17 @@ def fetch_plan(df: DataFrame, ranges_per_task: int = 256) -> DataFrame:
             F.sum(F.coalesce(F.col("warc_length"), F.lit(0))).over(wfile),
         )
     )
+    if coalesce_gap is not None:
+        prev_end = F.lag(
+            F.col("warc_offset") + F.coalesce(F.col("warc_length"), F.lit(0))
+        ).over(wseq)
+        # a NULL prev_end (first range of the file) starts request 0; a gap
+        # over the threshold starts the next request — running sum of breaks
+        brk = F.when(
+            prev_end.isNull()
+            | (F.col("warc_offset") - prev_end > F.lit(int(coalesce_gap))),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        running = wseq.rowsBetween(Window.unboundedPreceding, 0)
+        out = out.withColumn("request_id", F.sum(brk).over(running) - 1)
+    return out

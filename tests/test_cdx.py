@@ -282,3 +282,34 @@ class TestFetchPlan:
         )
         assert plan.count("Exchange") == 1, plan
         assert "EvalPython" not in plan
+
+    def test_coalesce_gap_groups_adjacent_ranges(self, spark):
+        # ranges at 0(+100), 100(+50), 400(+10), 2000(+5): gaps 0, 250, 1590
+        # -> threshold 300 coalesces the first three into one request; the
+        # far range starts request 1
+        df = self._caps(spark, [
+            ("u0", "f", 0, 100),
+            ("u1", "f", 100, 50),
+            ("u2", "f", 400, 10),
+            ("u3", "f", 2000, 5),
+            ("v0", "g", 7, 1),  # other file restarts at request 0
+        ])
+        got = {
+            r["url"]: r["request_id"]
+            for r in cdx.fetch_plan(df, coalesce_gap=300).collect()
+        }
+        assert got == {"u0": 0, "u1": 0, "u2": 0, "u3": 1, "v0": 0}
+        # a tighter threshold splits u2 off as well
+        tight = {
+            r["url"]: r["request_id"]
+            for r in cdx.fetch_plan(df, coalesce_gap=100).collect()
+        }
+        assert tight == {"u0": 0, "u1": 0, "u2": 1, "u3": 2, "v0": 0}
+
+    def test_coalesce_still_single_exchange(self, spark):
+        df = self._caps(spark, [("u", "f", 1, 1)])
+        plan = (
+            cdx.fetch_plan(df, coalesce_gap=100)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1, plan
