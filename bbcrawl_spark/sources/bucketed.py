@@ -32,6 +32,13 @@ outlive any catalog entry.  On a real cluster the same design is Iceberg's
 like sources/warehouse.py, this is the declared sandbox fallback with the
 identical four-call surface (write / append / register / anti-join).
 
+The same mechanism serves the OTHER dominant per-round shuffle: a frontier
+persisted bucketed by ``host`` feeds ``politeness.rank_fetch_slots`` with
+ZERO exchanges — the window's required distribution is satisfied by the
+bucketed scan (pinned in tests/test_bucketed.py).  Bucket any table on the
+key its recurring window/join partitions by, and that exchange is paid
+once at write time instead of on every read.
+
 Sizing: buckets are the unit of join parallelism AND of the file fan-out —
 at 10^10 keys (~80 GB of hashes) 4096 buckets keep each bucket ~20 MB of
 key data while matching a large cluster's core count.  Bucket files

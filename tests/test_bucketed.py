@@ -152,3 +152,29 @@ def test_bucketed_store_is_a_drop_in_exact_confirm_backend(spark, tmp_path):
             for r in bucketed.anti_join_new(cand, spark, "seen_bkt_f").collect()
         }
     assert got == want and len(got) == 2_500
+
+
+def test_politeness_over_host_bucketed_frontier_is_exchange_free(spark, tmp_path):
+    """A frontier PERSISTED bucketed by host (each round's frontier is a
+    warehouse table already) feeds the politeness ranking with ZERO
+    exchanges: the window's required distribution is satisfied by the
+    bucketed scan, so the round's dominant shuffle disappears whenever the
+    frontier is read back from storage rather than derived mid-plan."""
+    from bbcrawl_spark.operators import politeness
+
+    f = spark.range(0, 10_000).select(
+        F.concat(F.lit("h"), (F.col("id") % 97).cast("string")).alias("host"),
+        F.concat(F.lit("http://h"), (F.col("id") % 97).cast("string"),
+                 F.lit(".example.com/p"), F.col("id").cast("string")).alias("url"),
+        F.lit(1).alias("priority"),
+        (F.col("id") % 7).cast("int").alias("page_num"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+    )
+    bucketed.write_bucketed(f, "frontier_bkt", str(tmp_path / "fr"), BUCKETS, key="host")
+    ranked = politeness.rank_fetch_slots(spark.table("frontier_bkt"), budget=5)
+    assert ranked.filter("scheduled").count() == 97 * 5
+    plan = _plan(
+        politeness.rank_fetch_slots(spark.table("frontier_bkt"), budget=5)
+    )
+    assert plan.count("Exchange") == 0, plan
+    assert "Bucketed: true" in plan
