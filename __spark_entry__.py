@@ -1563,6 +1563,65 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
     )
 
 
+def _hits_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled-CTE DuckDB replay of linkgraph.hits' INTEGER recurrence —
+    per iteration: authority raw sums + total + rescale, then hub raw sums
+    + total + rescale; final authorities recomputed from the final hubs,
+    exactly as the Spark loop does. Bit-exact because every step is
+    non-negative integer floor division (Spark ``div`` == DuckDB ``//``).
+
+    Every CTE is ``AS MATERIALIZED``: HITS has TWO rescale layers per
+    iteration (vs pagerank's one), and DuckDB's default CTE inlining
+    re-expands the doubly-referenced chain exponentially — the un-hinted
+    query hangs at sf0.001 while the materialized one runs in 0.2 s at
+    sf0.01."""
+    s = 1_000_000_000
+    ctes = [
+        "ed AS MATERIALIZED (SELECT src_host AS s, dst_host AS d FROM he)",
+        "nodes AS MATERIALIZED (SELECT s AS h FROM ed UNION SELECT d FROM ed)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        f"h0 AS MATERIALIZED (SELECT h, CAST((SELECT {s} // n FROM nn) AS BIGINT) AS hs FROM nodes)",
+    ]
+    for k in range(iterations):
+        ctes.append(
+            f"ar{k} AS MATERIALIZED (SELECT ed.d AS h, CAST(SUM(h{k}.hs) AS BIGINT) AS raw"
+            f" FROM ed JOIN h{k} ON h{k}.h = ed.s GROUP BY ed.d)"
+        )
+        ctes.append(f"at{k} AS MATERIALIZED (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM ar{k})")
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT nodes.h, CAST(COALESCE(ar{k}.raw, 0) * {s}"
+            f" // (SELECT tot FROM at{k}) AS BIGINT) AS au"
+            f" FROM nodes LEFT JOIN ar{k} ON ar{k}.h = nodes.h)"
+        )
+        ctes.append(
+            f"hr{k} AS MATERIALIZED (SELECT ed.s AS h, CAST(SUM(a{k}.au) AS BIGINT) AS raw"
+            f" FROM ed JOIN a{k} ON a{k}.h = ed.d GROUP BY ed.s)"
+        )
+        ctes.append(f"ht{k} AS MATERIALIZED (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM hr{k})")
+        ctes.append(
+            f"h{k + 1} AS MATERIALIZED (SELECT nodes.h, CAST(COALESCE(hr{k}.raw, 0) * {s}"
+            f" // (SELECT tot FROM ht{k}) AS BIGINT) AS hs"
+            f" FROM nodes LEFT JOIN hr{k} ON hr{k}.h = nodes.h)"
+        )
+    K = iterations
+    ctes.append(
+        f"arF AS MATERIALIZED (SELECT ed.d AS h, CAST(SUM(h{K}.hs) AS BIGINT) AS raw"
+        f" FROM ed JOIN h{K} ON h{K}.h = ed.s GROUP BY ed.d)"
+    )
+    ctes.append("atF AS MATERIALIZED (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM arF)")
+    ctes.append(
+        f"aF AS MATERIALIZED (SELECT nodes.h, CAST(COALESCE(arF.raw, 0) * {s}"
+        f" // (SELECT tot FROM atF) AS BIGINT) AS au"
+        f" FROM nodes LEFT JOIN arF ON arF.h = nodes.h)"
+    )
+    body = ",\n            ".join(ctes)
+    return (
+        f"{_LINK_CTE}{_HOST_EDGE_CTE},\n            {body}\n"
+        f"            SELECT h{K}.h AS host, h{K}.hs AS hub_scaled,"
+        f" aF.au AS auth_scaled FROM h{K} JOIN aF ON aF.h = h{K}.h"
+    )
+
+
 def _events_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     ev.createOrReplaceTempView("_events_tmp")
@@ -1588,6 +1647,15 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes a graph ALGORITHM value-hash-checkable cross-engine."""
     e = linkgraph.host_edges(_events_links(spark, sf_dir))
     return linkgraph.pagerank(e, iterations=5, assume_distinct=True)
+
+
+def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact fixed-iteration HITS (linkgraph.hits, 3 rounds,
+    L1-normalized to 10^9 each half-step) over the host graph — the
+    hub/authority pair complementing the pagerank prior. Bit-exact vs the
+    oracle's unrolled-CTE replay (same non-negative floor divisions)."""
+    e = linkgraph.host_edges(_events_links(spark, sf_dir))
+    return linkgraph.hits(e, iterations=3, assume_distinct=True)
 
 
 def q_seed_expansion_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1835,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_degrees": q_link_graph_degrees,
         "pagerank_hosts": q_pagerank_hosts,
         "seed_expansion_hosts": q_seed_expansion_hosts,
+        "hits_hosts": q_hits_hosts,
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "anchor_text_top": q_anchor_text_top,
         "robots_sitemaps": q_robots_sitemaps,
@@ -2774,6 +2843,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY host
         """,
         "pagerank_hosts": _pagerank_oracle_sql(iterations=5),
+        "hits_hosts": _hits_oracle_sql(iterations=3),
         "seed_expansion_hosts": f"""
             {_LINK_CTE.replace("WITH l AS", "WITH RECURSIVE l AS", 1)}{_HOST_EDGE_CTE},
             reach(host, hop) AS (

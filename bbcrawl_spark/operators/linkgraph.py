@@ -45,6 +45,7 @@ __all__ = [
     "host_edges",
     "degree_stats",
     "pagerank",
+    "hits",
     "k_hop_hosts",
     "crawl_trap_stats",
     "top_anchor",
@@ -371,6 +372,111 @@ def pagerank(
 #: digit-run normalization shared by trap detection in BOTH engines:
 #: the template of /thread/12345/page6 is /thread/N/pageN.
 TEMPLATE_PATTERN = "[0-9]+"
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    scale: int = 1_000_000_000,
+    assume_distinct: bool = False,
+    cache: list | None = None,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) in INTEGER
+    arithmetic — the complementary link signal to :func:`pagerank`: an
+    AUTHORITY is a page good hosts link TO (a curation quality prior); a
+    HUB is a host that links to good authorities (a crawl-frontier
+    expansion prior — schedule hub hosts first and the frontier finds the
+    authorities).  Returns ``(host, hub_scaled, auth_scaled)``.
+
+    Recurrence per iteration, L1-normalized to ``scale`` each half-step:
+    ``a_j = Σ_{i→j} h_i``, rescaled to sum ≈ ``scale``; then
+    ``h_i = Σ_{i→j} a_j``, rescaled likewise.  Every rescale is
+    ``raw * scale div total`` — integer floor division, identical in
+    Spark (``div``) and DuckDB (``//``), so the whole algorithm is
+    bit-exact cross-engine and value-hash-checkable like ``pagerank``.
+
+    ``scale`` is 10^9 (not pagerank's 10^12) BECAUSE of the rescale
+    product: normalization bounds every score AND every raw sum by
+    ``scale``, so ``raw * scale ≤ 10^18`` stays inside int64 under ANSI
+    mode; the totals are ≤ ``scale × max-degree`` — safe to ~10^9 hosts.
+    Unweighted edge semantics (dedup unless ``assume_distinct=True``,
+    same contract as pagerank).
+
+    Loop shape = pagerank's (per-iteration join → map-side-combined
+    groupBy → broadcast 1-row total → rescale; hubs eagerly checkpointed,
+    previous round's blocks freed).  The final authorities are recomputed
+    from the FINAL hubs rather than carried — carrying them would keep a
+    lineage reference into the freed previous checkpoint.  Pagerank's
+    dense-int-vertex-id rewrite applies verbatim if the string keys ever
+    dominate an exchange at scale.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    jsc = edges.sparkSession.sparkContext._jsc
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not assume_distinct:
+        e = e.distinct()
+    pre = _persistent_ids(jsc)
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("s").alias("v")).union(e.select(F.col("d").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    pinned = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
+    n = nodes.count()
+    if n == 0:
+        if cache is not None:
+            cache.append(pinned)
+        return nodes.select(
+            F.col("v").alias("host"),
+            F.lit(0).cast("long").alias("hub_scaled"),
+            F.lit(0).cast("long").alias("auth_scaled"),
+        )
+
+    def _rescaled(joined_key: str, score_col: str, out: str) -> "function":
+        def step(score_df: DataFrame) -> DataFrame:
+            raw = (
+                e.join(score_df, e[joined_key] == score_df["v"])
+                .groupBy("d" if joined_key == "s" else "s")
+                .agg(F.sum(score_col).alias("raw"))
+            )
+            tot = raw.agg(F.sum("raw").cast("long").alias("tot"))
+            key = "d" if joined_key == "s" else "s"
+            return (
+                nodes.join(raw, nodes["v"] == raw[key], "left")
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    nodes["v"].alias("v"),
+                    F.expr(f"coalesce(raw, 0L) * {int(scale)}L div tot").alias(out),
+                )
+            )
+        return step
+
+    auth_from_hubs = _rescaled("s", "hs", "au")   # a_j = Σ h over in-edges
+    hubs_from_auth = _rescaled("d", "au", "hs")   # h_i = Σ a over out-edges
+
+    h = nodes.select("v", F.lit(scale // n).cast("long").alias("hs"))
+    backing = _CheckpointHandle(jsc, set())
+    for _ in range(iterations):
+        a = auth_from_hubs(h)
+        pre = _persistent_ids(jsc)
+        new_h = hubs_from_auth(a).localCheckpoint()
+        new_backing = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
+        backing.unpersist()
+        h, backing = new_h, new_backing
+    a = auth_from_hubs(h)  # final authorities from the FINAL hubs
+    out = h.join(a, "v").select(
+        F.col("v").alias("host"),
+        F.col("hs").alias("hub_scaled"),
+        F.col("au").alias("auth_scaled"),
+    )
+    if cache is not None:
+        cache.append(backing)
+        cache.append(pinned)
+    return out
 
 
 def k_hop_hosts(

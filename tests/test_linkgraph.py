@@ -456,3 +456,113 @@ def test_k_hop_seed_dataframe_and_cache_release(spark):
     assert {(r["host"], r["hop"]) for r in got.collect()} == {("a", 0), ("b", 1)}
     assert len(cache) == 1
     cache[0].unpersist()
+
+
+def test_trap_hosts_demote_via_politeness_budget_override(spark):
+    """Integration: the trap detector ends in the scheduler too — flagged
+    hosts get a floor budget through the SAME host_budgets override seam
+    the pagerank prior uses, so a URL-space explosion stops eating the
+    round's fetch slots while clean hosts keep the default."""
+    from bbcrawl_spark.operators import politeness
+
+    urls = spark.createDataFrame(
+        # trap.example.com: 60 distinct URLs, ONE digit template
+        [(f"http://trap.example.com/cal/2024/{i}",) for i in range(60)]
+        # clean.example.com: 60 distinct URLs, 60 distinct templates
+        + [(f"http://clean.example.com/{'x' * (i % 60 + 1)}",) for i in range(60)],
+        "url string",
+    )
+    traps = linkgraph.crawl_trap_stats(urls, min_urls=50, ratio_e4_threshold=100_000)
+    budgets = traps.filter("is_trap").select(
+        "host", F.lit(1).alias("budget")
+    )
+    frontier = spark.createDataFrame(
+        [(h, 1, i, i * 31) for h in ("trap.example.com", "clean.example.com")
+         for i in range(1, 9)],
+        "host string, priority int, page_num int, url_hash long",
+    )
+    ranked = politeness.rank_fetch_slots(frontier, budget=5, host_budgets=budgets)
+    got = {
+        r.host: r.cnt
+        for r in ranked.filter("scheduled")
+        .groupBy("host").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == {"trap.example.com": 1, "clean.example.com": 5}
+
+
+# ---------------------------------------------------------------------------
+# hits (hubs & authorities)
+# ---------------------------------------------------------------------------
+
+
+def _ref_hits(edges, iterations, scale=10**9):
+    """Pure-Python integer HITS — the reference recurrence."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+
+    def auth(h):
+        raw = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw[d] += h[s]
+        tot = sum(raw.values())
+        return {v: raw[v] * scale // tot for v in nodes}
+
+    def hub(a):
+        raw = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw[s] += a[d]
+        tot = sum(raw.values())
+        return {v: raw[v] * scale // tot for v in nodes}
+
+    h = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        h = hub(auth(h))
+    return h, auth(h)
+
+
+def test_hits_matches_python_reference(spark):
+    edges = [
+        ("x", "p"), ("x", "q"), ("y", "q"), ("y", "r"),
+        ("p", "r"),  # p is both authority and (weak) hub
+        ("z", "q"),
+    ]
+    e = _edges_df(spark, [(s, d, 1) for s, d in edges])
+    for iters in (1, 3):
+        want_h, want_a = _ref_hits(edges, iters)
+        rows = linkgraph.hits(e, iterations=iters).collect()
+        got_h = {r["host"]: r["hub_scaled"] for r in rows}
+        got_a = {r["host"]: r["auth_scaled"] for r in rows}
+        assert got_h == want_h, f"hubs, iterations={iters}"
+        assert got_a == want_a, f"auths, iterations={iters}"
+
+
+def test_hits_bipartite_separates_roles(spark):
+    # pure hubs link, pure authorities are linked: each side's other score
+    # is exactly zero, and q (2 in-links) out-ranks p and r (1 each)
+    edges = [("x", "p"), ("x", "q"), ("y", "q"), ("y", "r")]
+    e = _edges_df(spark, [(s, d, 1) for s, d in edges])
+    rows = {r["host"]: r for r in linkgraph.hits(e, iterations=3).collect()}
+    assert rows["x"]["auth_scaled"] == 0 and rows["p"]["hub_scaled"] == 0
+    assert rows["q"]["auth_scaled"] > rows["p"]["auth_scaled"]
+    assert rows["q"]["auth_scaled"] > rows["r"]["auth_scaled"]
+    assert rows["x"]["hub_scaled"] == rows["y"]["hub_scaled"]  # symmetric hubs
+
+
+def test_hits_assume_distinct_identity_and_dup_collapse(spark):
+    edges = [("a", "b"), ("b", "c"), ("a", "c")]
+    e1 = _edges_df(spark, [(s, d, 1) for s, d in edges])
+    e2 = _edges_df(spark, [(s, d, 1) for s, d in edges + edges])  # dups
+    base = {
+        (r["host"], r["hub_scaled"], r["auth_scaled"])
+        for r in linkgraph.hits(e1, iterations=2).collect()
+    }
+    fast = {
+        (r["host"], r["hub_scaled"], r["auth_scaled"])
+        for r in linkgraph.hits(e1, iterations=2, assume_distinct=True).collect()
+    }
+    dedup = {
+        (r["host"], r["hub_scaled"], r["auth_scaled"])
+        for r in linkgraph.hits(e2, iterations=2).collect()
+    }
+    assert base == fast == dedup
