@@ -314,3 +314,109 @@ class TestRepetitionLaws:
                 sum(x.endswith("...") for x in lines) * 10000 // n1,
             )
             assert got[i] == want, (i, doc, got[i], want)
+
+
+class TestColumnLaws:
+    """Batch-style laws for the new JVM column ops: hypothesis-shaped
+    inputs generated deterministically, ONE Spark job per law (a per-
+    example job would pay session overhead 300x)."""
+
+    def _url_batch(self, spark):
+        from pyspark.sql import functions as F
+
+        # cover: no query / clean query / tracker-only / mixed order /
+        # fragment / '?' inside fragment / multi-value params
+        return spark.range(0, 400).select(
+            F.concat(
+                F.lit("http://h"), (F.col("id") % 23).cast("string"),
+                F.lit(".example.com/p"), (F.col("id") % 7).cast("string"),
+                F.element_at(
+                    F.array(
+                        F.lit(""),
+                        F.lit("?a=1&b=2"),
+                        F.lit("?utm_source=x&gclid=g"),
+                        F.lit("?z=9&utm_campaign=c&a=1"),
+                        F.lit("?b=2&a=1#sec"),
+                        F.lit("#frag?utm_source=x"),
+                        F.lit("?a=1&a=2&jsessionid=s"),
+                    ),
+                    ((F.col("id") % 7) + 1).cast("int"),
+                ),
+            ).alias("u")
+        )
+
+    def test_normalize_query_idempotent_and_tracker_free(self, spark):
+        from pyspark.sql import functions as F
+
+        from bbcrawl_spark.functions import udfs
+
+        df = self._url_batch(spark).select(
+            "u", udfs.normalize_query_col("u").alias("n1")
+        ).select("u", "n1", udfs.normalize_query_col("n1").alias("n2"))
+        bad = df.filter(F.col("n1") != F.col("n2"))
+        assert bad.count() == 0, bad.limit(5).collect()
+        # no tracking param survives in the QUERY part of the output
+        q = F.regexp_extract("n1", r"^[^#]*\?([^#]*)", 1)
+        leaked = df.filter(
+            F.exists(
+                F.split(q, "&"), lambda p: p.rlike(udfs.TRACKING_PARAMS_RE)
+            )
+        )
+        assert leaked.count() == 0, leaked.limit(5).collect()
+
+    def test_registrable_domain_is_a_fixpoint(self, spark):
+        from pyspark.sql import functions as F
+
+        from bbcrawl_spark.operators import linkgraph
+
+        hosts = spark.range(0, 300).select(
+            F.concat(
+                F.element_at(
+                    F.array(F.lit(""), F.lit("www."), F.lit("a.b.")),
+                    ((F.col("id") % 3) + 1).cast("int"),
+                ),
+                F.lit("site"), (F.col("id") % 40).cast("string"),
+                F.element_at(
+                    F.array(
+                        F.lit(".example.com"), F.lit(".co.uk"),
+                        F.lit(".com.au"), F.lit(".org"), F.lit(".gob.mx"),
+                    ),
+                    ((F.col("id") % 5) + 1).cast("int"),
+                ),
+            ).alias("h")
+        )
+        d1 = linkgraph.registrable_domain("h")
+        df = hosts.select("h", d1.alias("d1")).select(
+            "h", "d1", linkgraph.registrable_domain("d1").alias("d2")
+        )
+        bad = df.filter(F.col("d1") != F.col("d2"))
+        assert bad.count() == 0, bad.limit(5).collect()
+
+    def test_recrawl_interval_always_clamped_and_due_consistent(self, spark):
+        from pyspark.sql import functions as F
+
+        from bbcrawl_spark.sources import cdx
+
+        caps = spark.range(0, 2000).select(
+            F.concat(F.lit("s"), (F.col("id") % 97).cast("string")).alias("surt"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") * 37_123) % 10_000_000
+            ).alias("fetch_ts"),
+            F.md5((F.col("id") % 300).cast("string")).alias("digest"),
+        )
+        sched = cdx.recrawl_schedule(
+            caps, "2023-12-30 00:00:00",
+            min_interval_s=3600, max_interval_s=86_400,
+        )
+        checked = sched.select(
+            ((F.col("interval_s") >= 3600) & (F.col("interval_s") <= 86_400)).alias("clamped"),
+            (
+                F.col("due")
+                == (
+                    F.unix_timestamp("next_due_ts")
+                    <= F.unix_timestamp(F.to_timestamp(F.lit("2023-12-30 00:00:00")))
+                )
+            ).alias("due_ok"),
+        )
+        bad = checked.filter(~F.col("clamped") | ~F.col("due_ok"))
+        assert bad.count() == 0
