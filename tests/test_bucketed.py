@@ -178,3 +178,37 @@ def test_politeness_over_host_bucketed_frontier_is_exchange_free(spark, tmp_path
     )
     assert plan.count("Exchange") == 0, plan
     assert "Bucketed: true" in plan
+
+
+def test_bloom_prefilter_composes_with_bucketed_confirm(spark, tmp_path):
+    """The full 10^10-design seen check: the Bloom pass prunes the
+    definitely-new frontier rows MAP-SIDE, and only the maybe-seen
+    remainder reaches the bucketed exact confirm — whose seen side is read
+    in place. Composition is exact (no false negatives + exact confirm)
+    and equals the plain anti-join."""
+    from bbcrawl_spark.operators import dedup
+
+    seen = _hashes(spark, 0, 20_000)
+    bucketed.write_bucketed(seen, "seen_bkt_g", str(tmp_path / "bkt"), BUCKETS)
+    dedup.build_partitioned_bloom(seen, str(tmp_path / "bloom"), num_partitions=8)
+    spec = dedup.BloomSpec(str(tmp_path / "bloom"), 8)
+
+    frontier = _hashes(spark, 10_000, 30_000)
+    flagged = dedup.bloom_maybe_seen(frontier, spec)
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter("maybe_seen").drop("maybe_seen")
+    with _no_broadcast(spark):
+        confirmed_new = bucketed.anti_join_new(maybe, spark, "seen_bkt_g")
+        got = {
+            r["url_hash"]
+            for r in definitely_new.unionByName(confirmed_new).collect()
+        }
+    want = {
+        r["url_hash"]
+        for r in frontier.join(seen, "url_hash", "left_anti").collect()
+    }
+    assert got == want and len(got) == 10_000
+    # the confirm join only saw the maybe-seen fraction: all 10k truly-seen
+    # rows plus the Bloom's (small) false positives on the new half
+    n_maybe = maybe.count()
+    assert 10_000 <= n_maybe < 11_000, n_maybe
