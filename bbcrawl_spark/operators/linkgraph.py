@@ -37,7 +37,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from bbcrawl_spark.operators.graphops import _CheckpointHandle, _persistent_ids
+from bbcrawl_spark.operators.graphops import (
+    _CheckpointHandle,
+    _persistent_ids,
+    _sized_coalesce,
+)
 
 __all__ = [
     "host_of_url",
@@ -135,6 +139,26 @@ def domain_sql(col: str, extra_slds: tuple[str, ...] = ()) -> str:
     )
 
 
+def _fenced_select(df: DataFrame, **cols: Column) -> DataFrame:
+    """Project computed columns behind an optimizer fence so downstream
+    filters do NOT re-evaluate them.
+
+    Catalyst pushes filters through projections by substituting the aliased
+    expression into the predicate; for expensive expressions (the host
+    regexes here) that evaluates the chain once in the pushed-down Filter
+    and AGAIN in the Project — measured 2.4x the projection cost on the
+    link-graph funnel (r6 profile). Filters cannot be pushed below a
+    Generate on the generator's output, so emitting the computed struct
+    through ``explode(array(struct(...)))`` — exactly one output row per
+    input row, values unchanged — pins every expression to a single
+    evaluation. The Generate itself is O(1) per row (a 1-element array).
+    """
+    fence = F.explode(F.array(F.struct(*[c.alias(n) for n, c in cols.items()])))
+    return df.select(fence.alias("_fence")).select(
+        *[F.col(f"_fence.{n}").alias(n) for n in cols]
+    )
+
+
 def host_edges(
     links: DataFrame,
     src: str = "page_url",
@@ -163,8 +187,11 @@ def host_edges(
     edge cases.
     """
     host_fn = host_fn or host_of_url
-    e = links.select(
-        host_fn(src).alias("src_host"), host_fn(dst).alias("dst_host")
+    # fence: the two host-regex chains are evaluated exactly ONCE per row;
+    # without it the pushed-down empty/self filters re-evaluate both chains
+    # (r6 profile: 11.8s -> 5.7s on the 2M-link build at sf0.1)
+    e = _fenced_select(
+        links, src_host=host_fn(src), dst_host=host_fn(dst)
     ).filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
     if not keep_self:
         e = e.filter(F.col("src_host") != F.col("dst_host"))
@@ -278,11 +305,24 @@ def pagerank(
     # pinned against the pure-Python reference + the DuckDB oracle, both
     # of which know nothing about the internal keying).
     pre = _persistent_ids(jsc)
+    # ONE scan of the edge list builds the whole node dimension: each edge
+    # contributes its src endpoint (counted) and its dst endpoint (count
+    # 0); the groupBy collapses map-side to <= 2n rows and yields every
+    # distinct host WITH its out-degree. This replaces the former separate
+    # distinct-hosts pass + ei-groupBy(sid) out-degree pass + has_out
+    # distinct scan (3 passes over the edge list) with a single pass.
+    endpoints = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("h"), F.lit(1).alias("c")),
+                F.struct(F.col("d").alias("h"), F.lit(0).alias("c")),
+            )
+        ).alias("x")
+    )
     dim = (
-        e.select(F.col("s").alias("h"))
-        .unionByName(e.select(F.col("d").alias("h")))
-        .distinct()
-        .select("h", F.monotonically_increasing_id().alias("nid"))
+        endpoints.groupBy(F.col("x.h").alias("h"))
+        .agg(F.sum("x.c").cast("long").alias("od"))
+        .select("h", "od", F.monotonically_increasing_id().alias("nid"))
         .localCheckpoint()
     )
     dim_pinned = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
@@ -293,7 +333,20 @@ def pagerank(
         return dim.select(
             F.col("h").alias("host"), F.lit(0).cast("long").alias("rank_scaled")
         )
-    sdim = dim.select(F.col("h").alias("_sh"), F.col("nid").alias("sid"))
+    # merge the checkpoint's inherited (often shuffle-width) partitioning
+    # down to the table's actual size: the loop re-reads these tables
+    # every round and per-task fixed costs dominate small stages
+    dim = _sized_coalesce(dim, n, 2_000_000)
+    # no host lacks out-edges -> the dangling term is identically zero in
+    # every iteration; one up-front count (over the tiny pinned dim, not
+    # the edge list) removes an anti-join + broadcast job from each round
+    # (the common case for link graphs aggregated from a full crawl,
+    # where every observed host linked out at least once)
+    no_dangling = dim.filter(F.col("od") > 0).count() == n
+    # out-degree rides the src dim so the edge re-key + od attach is ONE
+    # pass over e through two (broadcast when small) hash joins; dst-only
+    # hosts carry od=0 but never match e's src side, so they are inert
+    sdim = dim.select(F.col("h").alias("_sh"), F.col("nid").alias("sid"), "od")
     ddim = dim.select(F.col("h").alias("_dh"), F.col("nid").alias("did"))
     # the checkpointed dim is a LogicalRDD with no size statistics — the
     # planner would sort-merge the re-key joins (shuffling the whole edge
@@ -304,34 +357,40 @@ def pagerank(
     # intended plan anyway.
     if n <= broadcast_max_nodes:
         sdim, ddim = F.broadcast(sdim), F.broadcast(ddim)
-    ei = (
+    pre = _persistent_ids(jsc)
+    ej = (
         e.join(sdim, e["s"] == sdim["_sh"])
         .join(ddim, e["d"] == ddim["_dh"])
-        .select("sid", "did")
+        .select("sid", "did", "od")
+        .localCheckpoint()
     )
-    outdeg = ei.groupBy("sid").agg(F.count("*").alias("od"))
-    # fold out-degree into the edge list once so the loop joins ONE table
-    pre = _persistent_ids(jsc)
-    ej = ei.join(outdeg, "sid").localCheckpoint()
     pinned = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
+    ej = _sized_coalesce(ej, ej.count(), 1_500_000)
     nodes = dim.select(F.col("nid").alias("v"))
     base = scale // n
-    has_out = ej.select(F.col("sid").alias("v")).distinct()
-    # no host lacks out-edges -> the dangling term is identically zero in
-    # every iteration; one up-front count removes an anti-join + broadcast
-    # job from each round (the common case for link graphs aggregated from
-    # a full crawl, where every observed host linked out at least once)
-    no_dangling = has_out.count() == n
+    # hosts WITH out-edges, in sid space — read off the pinned dim
+    has_out = dim.filter(F.col("od") > 0).select(F.col("nid").alias("v"))
     ranks = nodes.select("v", F.lit(base).cast("long").alias("r"))
     backing = _CheckpointHandle(jsc, set())
+    # while the rank/contrib tables provably fit (n known exactly from the
+    # count above), broadcast them: the per-iteration plan then never
+    # exchanges the edge list at all — ej streams from its checkpoint into
+    # a broadcast hash join, and the only shuffle left is the map-side-
+    # combined groupBy(did) whose partials collapse to <= n rows per task.
+    # Beyond broadcast_max_nodes the partitioned joins are the intended
+    # plan. Join strategy does not change the integer recurrence: results
+    # are bit-identical either way.
+    small = n <= broadcast_max_nodes
     for _ in range(iterations):
+        r_side = F.broadcast(ranks) if small else ranks
         contrib = (
-            ej.join(ranks, ej["sid"] == ranks["v"])
+            ej.join(r_side, ej["sid"] == ranks["v"])
             .select(F.col("did"), F.expr("r div od").alias("c"))
             .groupBy("did")
             .agg(F.sum("c").alias("sum_c"))
         )
-        stepped = nodes.join(contrib, nodes["v"] == contrib["did"], "left")
+        c_side = F.broadcast(contrib) if small else contrib
+        stepped = nodes.join(c_side, nodes["v"] == contrib["did"], "left")
         if no_dangling:
             dang_term = "0L"
         else:
@@ -381,6 +440,7 @@ def hits(
     dst: str = "dst_host",
     scale: int = 1_000_000_000,
     assume_distinct: bool = False,
+    broadcast_max_nodes: int = 1_000_000,
     cache: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg hubs & authorities) in INTEGER
@@ -421,7 +481,7 @@ def hits(
     pre = _persistent_ids(jsc)
     e = e.localCheckpoint()
     nodes = (
-        e.select(F.col("s").alias("v")).union(e.select(F.col("d").alias("v")))
+        e.select(F.explode(F.array("s", "d")).alias("v"))
         .distinct()
         .localCheckpoint()
     )
@@ -436,17 +496,26 @@ def hits(
             F.lit(0).cast("long").alias("auth_scaled"),
         )
 
+    # pagerank's r6 broadcast rewrite, applied to the HITS half-steps: while
+    # the score tables provably fit (n counted above), the per-half-step
+    # join against the edge list is a broadcast hash join — the edge list
+    # never crosses an exchange — and the rescale join broadcasts the tiny
+    # aggregated raw table. Bit-identical scores; strategy only.
+    small = n <= broadcast_max_nodes
+
     def _rescaled(joined_key: str, score_col: str, out: str) -> "function":
         def step(score_df: DataFrame) -> DataFrame:
+            s_side = F.broadcast(score_df) if small else score_df
             raw = (
-                e.join(score_df, e[joined_key] == score_df["v"])
+                e.join(s_side, e[joined_key] == score_df["v"])
                 .groupBy("d" if joined_key == "s" else "s")
                 .agg(F.sum(score_col).alias("raw"))
             )
             tot = raw.agg(F.sum("raw").cast("long").alias("tot"))
             key = "d" if joined_key == "s" else "s"
+            r_side = F.broadcast(raw) if small else raw
             return (
-                nodes.join(raw, nodes["v"] == raw[key], "left")
+                nodes.join(r_side, nodes["v"] == raw[key], "left")
                 .crossJoin(F.broadcast(tot))
                 .select(
                     nodes["v"].alias("v"),
@@ -468,7 +537,7 @@ def hits(
         backing.unpersist()
         h, backing = new_h, new_backing
     a = auth_from_hubs(h)  # final authorities from the FINAL hubs
-    out = h.join(a, "v").select(
+    out = h.join(F.broadcast(a) if small else a, "v").select(
         F.col("v").alias("host"),
         F.col("hs").alias("hub_scaled"),
         F.col("au").alias("auth_scaled"),
@@ -581,7 +650,7 @@ def crawl_trap_stats(
     rest = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1)
     template = F.regexp_replace(rest, TEMPLATE_PATTERN, "N")
     return (
-        urls.select(host.alias("host"), url.alias("_u"), template.alias("_t"))
+        _fenced_select(urls, host=host, _u=url, _t=template)
         .filter(F.col("host") != "")
         .groupBy("host")
         .agg(
@@ -623,9 +692,10 @@ def top_anchor(
     from pyspark.sql import Window
 
     grouped = (
-        links.select(
-            (host_fn or host_of_url)(dst).alias("dst_host"),
-            F.col(anchor).alias("anchor"),
+        _fenced_select(
+            links,
+            dst_host=(host_fn or host_of_url)(dst),
+            anchor=F.col(anchor),
         )
         .filter((F.col("dst_host") != "") & (F.col("anchor") != ""))
         .groupBy("dst_host", "anchor")

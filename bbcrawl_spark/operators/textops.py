@@ -581,15 +581,34 @@ def ngram_jaccard_pairs(
     )
     if hash_shingles:
         sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    # |A| is the size of the per-doc distinct shingle ARRAY — computed
+    # straight off the documents with no explode and no exchange, instead
+    # of re-running the shingle explode in a separate groupBy(id) branch
+    # (shingles() emits at least one element per doc, so this equals the
+    # former exploded-row count exactly)
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(shingles(text_col, n)).cast("long").alias("n_shingles"),
+    )
+    # r6 restructure: the former plan evaluated the shingle explode — the
+    # dominant text pass at scale — once per consumer (hot-df branch +
+    # both self-join sides). One explicit exchange on the join key now
+    # feeds everything: the hot-shingle cap becomes a count window over
+    # (shingle) — the same partitioning the self-join needs, so the
+    # explode runs ONCE, shuffles ONCE, and the window's sort is exactly
+    # the sort the sort-merge self-join wants (the _drop_hot_buckets
+    # shape minhash_lsh_pairs already uses). A shingle's window count is
+    # its global document frequency (shingles are distinct per doc), so
+    # the kept set is identical to the former anti-join against the
+    # df > max_shingle_df list.
+    sh = sh.repartition("shingle")
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+        wsh = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(wsh))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
         )
-        sh = sh.join(hot, "shingle", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
