@@ -464,13 +464,22 @@ def hits(
     Unweighted edge semantics (dedup unless ``assume_distinct=True``,
     same contract as pagerank).
 
-    Loop shape = pagerank's (per-iteration join → map-side-combined
-    groupBy → broadcast 1-row total → rescale; hubs eagerly checkpointed,
-    previous round's blocks freed).  The final authorities are recomputed
-    from the FINAL hubs rather than carried — carrying them would keep a
-    lineage reference into the freed previous checkpoint.  Pagerank's
-    dense-int-vertex-id rewrite applies verbatim if the string keys ever
-    dominate an exchange at scale.
+    Loop shape (r6 rewrite, = pagerank's): the node dim is built in ONE
+    pass over the edge list and carries BOTH degrees, so each half-step's
+    L1 total is the n-row aggregate ``Σ score(v)·deg(v)`` — exactly equal
+    to the former ``Σ raw`` (every edge contributes its endpoint score
+    once) but computed WITHOUT re-evaluating the edge join; each
+    half-step therefore scans the (checkpointed, size-coalesced) edge
+    list exactly once, through a broadcast hash join while the score
+    table provably fits.  Both half-step outputs are eagerly
+    checkpointed, previous round's blocks freed — the former shape
+    checkpointed only hubs, so the un-pinned authorities subtree was
+    re-evaluated (with its edge scans) inside every hub half-step.  The
+    rescale divisor is guarded ``greatest(tot, 1)``: with ``n > scale``
+    the uniform start floors to 0 and an unguarded total would
+    divide-by-zero under ANSI instead of converging to all-zero scores
+    (unreachable at the 10^9-host bound above; scores are unchanged
+    whenever any score is nonzero).
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -480,64 +489,94 @@ def hits(
         e = e.distinct()
     pre = _persistent_ids(jsc)
     e = e.localCheckpoint()
-    nodes = (
-        e.select(F.explode(F.array("s", "d")).alias("v"))
-        .distinct()
+    # one scan of e: every distinct host + its out/in degree (pagerank's
+    # endpoint-explode shape)
+    ndim = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("s").alias("v"),
+                        F.lit(1).alias("_o"), F.lit(0).alias("_i"),
+                    ),
+                    F.struct(
+                        F.col("d").alias("v"),
+                        F.lit(0).alias("_o"), F.lit(1).alias("_i"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.v").alias("v"))
+        .agg(
+            F.sum("x._o").cast("long").alias("od"),
+            F.sum("x._i").cast("long").alias("ind"),
+        )
         .localCheckpoint()
     )
     pinned = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
-    n = nodes.count()
+    n = ndim.count()
     if n == 0:
         if cache is not None:
             cache.append(pinned)
-        return nodes.select(
+        return ndim.select(
             F.col("v").alias("host"),
             F.lit(0).cast("long").alias("hub_scaled"),
             F.lit(0).cast("long").alias("auth_scaled"),
         )
-
-    # pagerank's r6 broadcast rewrite, applied to the HITS half-steps: while
-    # the score tables provably fit (n counted above), the per-half-step
-    # join against the edge list is a broadcast hash join — the edge list
-    # never crosses an exchange — and the rescale join broadcasts the tiny
-    # aggregated raw table. Bit-identical scores; strategy only.
+    ndim = _sized_coalesce(ndim, n, 2_000_000)
+    # |E| read off the pinned dim (Σ out-degree) — no extra edge scan
+    n_edges = ndim.agg(F.sum("od")).first()[0] or 0
+    e = _sized_coalesce(e, int(n_edges), 1_500_000)
     small = n <= broadcast_max_nodes
 
-    def _rescaled(joined_key: str, score_col: str, out: str) -> "function":
-        def step(score_df: DataFrame) -> DataFrame:
-            s_side = F.broadcast(score_df) if small else score_df
-            raw = (
-                e.join(s_side, e[joined_key] == score_df["v"])
-                .groupBy("d" if joined_key == "s" else "s")
-                .agg(F.sum(score_col).alias("raw"))
+    def _half(
+        score_df: DataFrame, score_col: str, join_key: str, deg_col: str,
+        out: str,
+    ) -> DataFrame:
+        sc = score_df.select(F.col("v").alias("_v"), F.col(score_col).alias("_s"))
+        s_side = F.broadcast(sc) if small else sc
+        other = "d" if join_key == "s" else "s"
+        raw = (
+            e.join(s_side, e[join_key] == sc["_v"])
+            .groupBy(F.col(other).alias("_k"))
+            .agg(F.sum("_s").alias("raw"))
+        )
+        # L1 total as an n-row aggregate: Σ_v score(v)·deg(v) == Σ raw
+        # exactly (integer sums reorder freely; bounds keep it in int64)
+        tot = score_df.agg(
+            F.coalesce(F.sum(F.col(score_col) * F.col(deg_col)), F.lit(0))
+            .cast("long")
+            .alias("tot")
+        )
+        r_side = F.broadcast(raw) if small else raw
+        return (
+            ndim.join(r_side, ndim["v"] == raw["_k"], "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                ndim["v"],
+                ndim["od"],
+                ndim["ind"],
+                F.expr(
+                    f"coalesce(raw, 0L) * {int(scale)}L div greatest(tot, 1L)"
+                ).alias(out),
             )
-            tot = raw.agg(F.sum("raw").cast("long").alias("tot"))
-            key = "d" if joined_key == "s" else "s"
-            r_side = F.broadcast(raw) if small else raw
-            return (
-                nodes.join(r_side, nodes["v"] == raw[key], "left")
-                .crossJoin(F.broadcast(tot))
-                .select(
-                    nodes["v"].alias("v"),
-                    F.expr(f"coalesce(raw, 0L) * {int(scale)}L div tot").alias(out),
-                )
-            )
-        return step
+        )
 
-    auth_from_hubs = _rescaled("s", "hs", "au")   # a_j = Σ h over in-edges
-    hubs_from_auth = _rescaled("d", "au", "hs")   # h_i = Σ a over out-edges
-
-    h = nodes.select("v", F.lit(scale // n).cast("long").alias("hs"))
+    h = ndim.select("v", "od", "ind", F.lit(scale // n).cast("long").alias("hs"))
     backing = _CheckpointHandle(jsc, set())
     for _ in range(iterations):
-        a = auth_from_hubs(h)
         pre = _persistent_ids(jsc)
-        new_h = hubs_from_auth(a).localCheckpoint()
+        # a_j = Σ_{i→j} h_i (tot over out-degrees); h_i = Σ_{i→j} a_j
+        # (tot over in-degrees)
+        a = _half(h, "hs", "s", "od", "au").localCheckpoint()
+        new_h = _half(a, "au", "d", "ind", "hs").localCheckpoint()
         new_backing = _CheckpointHandle(jsc, _persistent_ids(jsc) - pre)
         backing.unpersist()
         h, backing = new_h, new_backing
-    a = auth_from_hubs(h)  # final authorities from the FINAL hubs
-    out = h.join(F.broadcast(a) if small else a, "v").select(
+    a = _half(h, "hs", "s", "od", "au").select("v", "au")
+    out = h.join(  # final auths from the FINAL hubs
+        F.broadcast(a) if small else a, "v"
+    ).select(
         F.col("v").alias("host"),
         F.col("hs").alias("hub_scaled"),
         F.col("au").alias("auth_scaled"),

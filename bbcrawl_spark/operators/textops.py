@@ -97,8 +97,15 @@ def _tokens(text_col: Column) -> Column:
 
 
 def _stopword_hits(tokens: Column, lang: str) -> Column:
-    arr = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
-    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+    # membership via IN over literals: Catalyst converts a >10-element IN
+    # to InSet (hash-set lookup), vs array_contains' linear scan of the
+    # 15-word profile per token — with 7 language profiles that scan was
+    # ~105 string comparisons per token (r6 profile: langid-bearing
+    # queries ~1.5x faster, e.g. corpus_clean 3.1s -> 2.0s at sf0.1).
+    # Identical hit counts: both are exact string equality over non-null
+    # tokens (split never yields nulls).
+    words = _STOPWORDS[lang]
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -102,18 +102,30 @@ def parse_cdx_lines(df: DataFrame, col: str = "line") -> DataFrame:
     # try_element_at, not element_at: a malformed line with <3 fields must
     # become a NULL row, not an ANSI INVALID_ARRAY_INDEX abort of the scan
     js = F.try_element_at(parts, F.lit(3))
+    # ONE from_json parse instead of seven get_json_object calls — each of
+    # those re-parsed the payload from scratch (r6 profile: the parse
+    # stage dominated cdx_latest). String-typed fields keep
+    # get_json_object's text semantics (numeric tokens read as their
+    # literal text, missing keys -> NULL, malformed payload -> all-NULL
+    # struct == all-NULL columns); the numeric columns try_cast exactly
+    # as before.
+    obj = F.from_json(
+        js,
+        "url string, status string, mime string, digest string, "
+        "filename string, offset string, length string",
+    )
     return df.select(
         F.try_element_at(parts, F.lit(1)).alias("surt"),
         F.try_to_timestamp(
             F.try_element_at(parts, F.lit(2)), F.lit("yyyyMMddHHmmss")
         ).alias("fetch_ts"),
-        F.get_json_object(js, "$.url").alias("url"),
-        F.get_json_object(js, "$.status").try_cast("int").alias("status"),
-        F.get_json_object(js, "$.mime").alias("mime"),
-        F.get_json_object(js, "$.digest").alias("digest"),
-        F.get_json_object(js, "$.filename").alias("warc_filename"),
-        F.get_json_object(js, "$.offset").try_cast("long").alias("warc_offset"),
-        F.get_json_object(js, "$.length").try_cast("long").alias("warc_length"),
+        obj["url"].alias("url"),
+        obj["status"].try_cast("int").alias("status"),
+        obj["mime"].alias("mime"),
+        obj["digest"].alias("digest"),
+        obj["filename"].alias("warc_filename"),
+        obj["offset"].try_cast("long").alias("warc_offset"),
+        obj["length"].try_cast("long").alias("warc_length"),
     )
 
 
