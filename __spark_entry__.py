@@ -40,7 +40,21 @@ from bbcrawl_spark.sources import sitemap as sitemap_mod
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # The sf tables are single parquet files, so the scan yields 1-2 input
+    # splits and every expression-heavy query riding it runs near-serial
+    # (r6 profile: q_corpus_clean spent 15 s of CPU in a 2-task stage at
+    # sf1.0 — the whole quality+langid pass on 2 of 32 cores). Spread
+    # under-split scans to cluster parallelism; a scan already at or
+    # above defaultParallelism (the many-file 100-TB case) is returned
+    # untouched, so no exchange is ever added to a properly-split input.
+    # Row placement does not affect any declared query's output: every
+    # query orders/ranks by deterministic keys (oracle-checked across
+    # scale factors, i.e. across differing input splits).
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df
 
 
 #: deterministic synthetic URL built from the events table — used by the

@@ -730,33 +730,47 @@ def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3):
     Permutations are (a*x+b) mod M61 on seeded params (reproducible).
     """
     a, b = _minhash_params(num_hashes)
+    # Working-set bound, decoupled from the Arrow batch size: the
+    # permutation matrix is (K × G) uint64, so a 10k-doc Arrow batch
+    # (~100 grams/doc) would allocate ~0.5 GB of temporaries per worker
+    # and thrash (r6: the signature row regressed 1.7x when batches grew).
+    # Slicing the batch keeps G ≈ slice×grams/doc ≈ 10^5 (~50 MB at
+    # K=64) regardless of how the session sizes Arrow batches; per-doc
+    # minima are independent across docs, so the output is unchanged.
+    _SLICE = 1024
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_udf(text: pd.Series) -> pd.Series:
-        all_grams: list[str] = []
-        counts: list[int] = []
-        for t in text:
-            norm = normalized_py(t or "")
-            toks = norm.split(" ") if norm else []
-            if len(toks) >= shingle_n:
-                grams = list(
-                    {
-                        " ".join(toks[i : i + shingle_n])
-                        for i in range(len(toks) - shingle_n + 1)
-                    }
-                )
-            else:
-                grams = [norm]
-            all_grams.extend(grams)
-            counts.append(len(grams))  # always >= 1
-        if not counts:
-            return pd.Series([], dtype="object")
-        hashes = _hash_strings_np(all_grams)  # (G,) uint64, one batch call
-        vals = (a[:, None] * hashes[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        sigs = np.minimum.reduceat(vals, offsets, axis=1)  # (K, D)
-        sig64 = sigs.astype(np.int64)
-        return pd.Series([sig64[:, d].tolist() for d in range(len(counts))])
+        out: list[list[int]] = []
+        for lo in range(0, len(text), _SLICE):
+            chunk = text.iloc[lo : lo + _SLICE]
+            all_grams: list[str] = []
+            counts: list[int] = []
+            for t in chunk:
+                norm = normalized_py(t or "")
+                toks = norm.split(" ") if norm else []
+                if len(toks) >= shingle_n:
+                    grams = list(
+                        {
+                            " ".join(toks[i : i + shingle_n])
+                            for i in range(len(toks) - shingle_n + 1)
+                        }
+                    )
+                else:
+                    grams = [norm]
+                all_grams.extend(grams)
+                counts.append(len(grams))  # always >= 1
+            if not counts:
+                continue
+            hashes = _hash_strings_np(all_grams)  # (G,) uint64, one call
+            vals = (a[:, None] * hashes[None, :] + b[:, None]) % np.uint64(
+                _MERSENNE
+            )
+            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            sigs = np.minimum.reduceat(vals, offsets, axis=1)  # (K, D)
+            sig64 = sigs.astype(np.int64)
+            out.extend(sig64[:, d].tolist() for d in range(len(counts)))
+        return pd.Series(out, dtype="object")
 
     return minhash_udf
 
@@ -934,33 +948,45 @@ def simhash_udf(text: pd.Series) -> pd.Series:
     n = len(text)
     if n == 0:
         return pd.Series([], dtype="int64")
-    all_toks: list[str] = []
-    counts = np.zeros(n, dtype=np.int64)
-    for i, t in enumerate(text):
-        norm = normalized_py(t or "")
-        toks = norm.split(" ") if norm else []
-        all_toks.extend(toks)
-        counts[i] = len(toks)
-    if not all_toks:
-        return pd.Series(np.zeros(n, dtype=np.int64))
-    hs = _hash_strings_np(all_toks)  # (T,) uint64
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-        np.int32
-    )  # (T, 64)
-    # reduceat quirks: a trailing offset == len raises, and clamping it would
-    # silently truncate the PRECEDING doc's segment (its last token's votes
-    # dropped — batch-boundary-dependent simhash). Append one zero row so raw
-    # offsets up to len(all_toks) are valid; empty segments still return the
-    # row AT their offset, but those docs are zeroed out below.
-    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    bits = np.vstack([bits, np.zeros((1, 64), dtype=np.int32)])
-    sums = np.add.reduceat(bits, offsets, axis=0)
-    votes = 2 * sums - counts[:, None]  # (D, 64)
-    words = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
-        axis=1
-    )
-    words[counts == 0] = np.uint64(0)
-    return pd.Series(words.astype(np.int64))
+    # slice the Arrow batch so the (T, 64) bit matrix stays ~10^5 tokens
+    # (~25 MB) per chunk regardless of session batch sizing — the same
+    # working-set bound as make_minhash_udf; per-doc votes are
+    # independent, so slicing cannot change any signature
+    _SLICE = 1024
+    chunks: list[np.ndarray] = []
+    for lo in range(0, n, _SLICE):
+        part = text.iloc[lo : lo + _SLICE]
+        m = len(part)
+        all_toks: list[str] = []
+        counts = np.zeros(m, dtype=np.int64)
+        for i, t in enumerate(part):
+            norm = normalized_py(t or "")
+            toks = norm.split(" ") if norm else []
+            all_toks.extend(toks)
+            counts[i] = len(toks)
+        if not all_toks:
+            chunks.append(np.zeros(m, dtype=np.int64))
+            continue
+        hs = _hash_strings_np(all_toks)  # (T,) uint64
+        bits = (
+            (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int32)  # (T, 64)
+        # reduceat quirks: a trailing offset == len raises, and clamping it
+        # would silently truncate the PRECEDING doc's segment (its last
+        # token's votes dropped — batch-boundary-dependent simhash). Append
+        # one zero row so raw offsets up to len(all_toks) are valid; empty
+        # segments still return the row AT their offset, but those docs are
+        # zeroed out below.
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        bits = np.vstack([bits, np.zeros((1, 64), dtype=np.int32)])
+        sums = np.add.reduceat(bits, offsets, axis=0)
+        votes = 2 * sums - counts[:, None]  # (D, 64)
+        words = (
+            (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        ).sum(axis=1)
+        words[counts == 0] = np.uint64(0)
+        chunks.append(words.astype(np.int64))
+    return pd.Series(np.concatenate(chunks))
 
 
 def simhash_pairs(
