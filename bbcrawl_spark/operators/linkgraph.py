@@ -139,6 +139,25 @@ def domain_sql(col: str, extra_slds: tuple[str, ...] = ()) -> str:
     )
 
 
+def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition an under-split input up to cluster parallelism.
+
+    The link extractions these operators consume often arrive as a narrow
+    plan over a one-split scan (a single parquet file has one row group),
+    which serializes the whole parse+aggregate funnel onto one core — the
+    r6 profile showed the 20M-link build spending ~40 s in a ONE-task map
+    stage. Hash partitioning on the payload columns (not round-robin)
+    avoids the sort-before-repartition pass, is deterministic under task
+    retry, and is a no-op whenever the input is already at or above
+    ``defaultParallelism`` — a properly-split 100-TB scan never pays an
+    extra exchange. Row placement cannot change any aggregate's output.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism, *[F.col(c) for c in key_cols])
+    return df
+
+
 def _fenced_select(df: DataFrame, **cols: Column) -> DataFrame:
     """Project computed columns behind an optimizer fence so downstream
     filters do NOT re-evaluate them.
@@ -191,7 +210,7 @@ def host_edges(
     # without it the pushed-down empty/self filters re-evaluate both chains
     # (r6 profile: 11.8s -> 5.7s on the 2M-link build at sf0.1)
     e = _fenced_select(
-        links, src_host=host_fn(src), dst_host=host_fn(dst)
+        _spread(links, src, dst), src_host=host_fn(src), dst_host=host_fn(dst)
     ).filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
     if not keep_self:
         e = e.filter(F.col("src_host") != F.col("dst_host"))
@@ -689,7 +708,7 @@ def crawl_trap_stats(
     rest = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1)
     template = F.regexp_replace(rest, TEMPLATE_PATTERN, "N")
     return (
-        _fenced_select(urls, host=host, _u=url, _t=template)
+        _fenced_select(_spread(urls, url_col), host=host, _u=url, _t=template)
         .filter(F.col("host") != "")
         .groupBy("host")
         .agg(
@@ -732,7 +751,7 @@ def top_anchor(
 
     grouped = (
         _fenced_select(
-            links,
+            _spread(links, dst, anchor),
             dst_host=(host_fn or host_of_url)(dst),
             anchor=F.col(anchor),
         )
