@@ -82,6 +82,25 @@ def _sized_coalesce(df: DataFrame, n_rows: int, rows_per_part: int) -> DataFrame
     return df.coalesce(want) if want < cur else df
 
 
+def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition an under-split input up to cluster parallelism.
+
+    The link extractions these operators consume often arrive as a narrow
+    plan over a one-split scan (a single parquet file has one row group),
+    which serializes the whole parse+aggregate funnel onto one core — the
+    r6 profile showed the 20M-link build spending ~40 s in a ONE-task map
+    stage. Hash partitioning on the payload columns (not round-robin)
+    avoids the sort-before-repartition pass, is deterministic under task
+    retry, and is a no-op whenever the input is already at or above
+    ``defaultParallelism`` — a properly-split 100-TB scan never pays an
+    extra exchange. Row placement cannot change any aggregate's output.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism, *[F.col(c) for c in key_cols])
+    return df
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

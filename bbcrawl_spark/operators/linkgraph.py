@@ -41,6 +41,7 @@ from bbcrawl_spark.operators.graphops import (
     _CheckpointHandle,
     _persistent_ids,
     _sized_coalesce,
+    _spread,
 )
 
 __all__ = [
@@ -137,25 +138,6 @@ def domain_sql(col: str, extra_slds: tuple[str, ...] = ()) -> str:
         f"ELSE coalesce(nullif(regexp_extract({col}, '{multi}', 1), ''), "
         f"nullif(regexp_extract({col}, '{two}', 1), ''), {col}) END"
     )
-
-
-def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Hash-repartition an under-split input up to cluster parallelism.
-
-    The link extractions these operators consume often arrive as a narrow
-    plan over a one-split scan (a single parquet file has one row group),
-    which serializes the whole parse+aggregate funnel onto one core — the
-    r6 profile showed the 20M-link build spending ~40 s in a ONE-task map
-    stage. Hash partitioning on the payload columns (not round-robin)
-    avoids the sort-before-repartition pass, is deterministic under task
-    retry, and is a no-op whenever the input is already at or above
-    ``defaultParallelism`` — a properly-split 100-TB scan never pays an
-    extra exchange. Row placement cannot change any aggregate's output.
-    """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism, *[F.col(c) for c in key_cols])
-    return df
 
 
 def _fenced_select(df: DataFrame, **cols: Column) -> DataFrame:

@@ -52,10 +52,18 @@ def brute_force_knn(
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast queries × corpus,
     cosine, row_number ≤ k. Returns (query_id, vec_id, cos_sim, knn_rank)."""
+    from bbcrawl_spark.operators.graphops import _spread
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
+    # the JVM cosine fold is the whole cost and rides the corpus scan;
+    # spread a one-split scan (single parquet row group) so it does not
+    # run single-core — no-op for properly-split inputs
+    c = _spread(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")),
+        "vec_id",
+    )
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
@@ -316,34 +324,84 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold), id_a < id_b.
 
-    exact=True does the O(n²) self-join (small inputs / oracle checks);
-    otherwise candidates are restricted to shared LSH buckets.
+    exact=True does the O(n²) self-join (small inputs / oracle checks).
+
+    The LSH path is the ``minhash_lsh_pairs`` single-pass shape (the r4
+    simhash fix, applied here in r6): the hyperplane UDF is evaluated
+    ONCE, banded rows shuffle ONCE on (table, bucket), and candidate
+    pairs expand JVM-side inside each bucket group with the cosine
+    computed INLINE and thresholded BEFORE the explode — the former
+    banded SELF-join evaluated the pandas UDF under both join aliases
+    and shipped a full vector copy per candidate pair through the join.
+    ``max_bucket_size`` drops degenerate hot buckets (one near-constant
+    embedding cluster at 10^9 docs otherwise goes quadratic inside a
+    single bucket) before any per-bucket materialization, via the same
+    spill-safe count window as ``textops._drop_hot_buckets``; results
+    become a LOWER bound — a dropped bucket can only lose pairs, never
+    invent one. Memory model: a surviving bucket of k members holds its
+    k (id, vec) structs (~1 KB each at 128 dims) in the collect_list row
+    and ≤ k(k-1)/2 24-byte (id_a, id_b, cos) structs post-filter — keep
+    the cap in the low thousands.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if exact:
         a, b = base.alias("a"), base.alias("b")
         joined = a.join(b, F.col("a.id") < F.col("b.id"))
-    else:
-        if dim is None:
-            raise ValueError("dim required for the LSH path")
-        udf = make_hyperplane_udf(dim, num_planes, num_tables=4)
-        banded = _with_buckets(base, udf, "vec")
-        a, b = banded.alias("a"), banded.alias("b")
-        joined = a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        return (
+            joined.select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
         )
+    if dim is None:
+        raise ValueError("dim required for the LSH path")
+    udf = make_hyperplane_udf(dim, num_planes, num_tables=4)
+    banded = _with_buckets(base, udf, "vec")
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("table", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    grouped = (
+        banded.groupBy("table", "bucket")
+        .agg(F.collect_list(F.struct("id", "vec")).alias("mem"))
+        .filter(F.size("mem") >= 2)
+    )
+    # all i<j pairs within the bucket; members sort by id (structs compare
+    # field-by-field and ids are unique), so id_a < id_b holds and the
+    # pair set + cosine values are identical to the former self-join's.
+    ms = F.array_sort("mem")
+
+    def _pair(x, y):
+        return F.struct(
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            cosine(x["vec"], y["vec"]).alias("cos_sim"),
+        )
+
+    pairs_arr = F.filter(
+        F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda y: _pair(x, y),
+                ),
+            )
+        ),
+        lambda p: p["cos_sim"] >= threshold,
+    )
     return (
-        joined.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -754,6 +754,47 @@ class TestSimilarity:
         assert rec[35]["n_exact"] > 50
         assert rec[35]["recall_e4"] < 5000
 
+    def test_near_dup_lsh_single_pass_plan_and_cap(self, spark):
+        # r6 rewrite (the r4 simhash fix applied to embeddings): the LSH
+        # path must evaluate the hyperplane UDF exactly ONCE — the former
+        # banded self-join ran it under both join aliases — and the
+        # hot-bucket cap must be a pure pre-filter (lower bound: a capped
+        # run's pairs are a subset of the uncapped run's, and a cap of 1
+        # leaves no bucket with two members, hence no pairs).
+        import re
+
+        rows = [(i, [float(i % 7 == 0), float(i % 3), 1.0, 0.5]) for i in range(40)]
+        rows.append((1000, [0.0, 2.0, 1.0, 0.5]))  # near-dup of the i%3==1 family
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        lsh = similarity.cosine_near_dup_pairs(
+            df, threshold=0.9, dim=4, num_planes=4
+        )
+        plan = lsh._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"ArrowEvalPython|BatchEvalPython", plan)) == 1, plan
+        uncapped = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.cosine_near_dup_pairs(
+                df, threshold=0.9, dim=4, num_planes=4, max_bucket_size=8
+            ).collect()
+        }
+        assert capped <= uncapped
+        assert (
+            similarity.cosine_near_dup_pairs(
+                df, threshold=0.9, dim=4, num_planes=4, max_bucket_size=1
+            ).count()
+            == 0
+        )
+        # every LSH pair is a true >= threshold pair (inline cosine is the
+        # same JVM fold the exact path uses)
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.cosine_near_dup_pairs(
+                df, threshold=0.9, exact=True
+            ).collect()
+        }
+        assert uncapped <= exact
+
     def test_minhash_lsh_recall_floor(self, spark):
         # The flagship 100-TB dedup candidate generator (minhash_lsh_pairs,
         # 64 hashes x 16 bands) vs the exact ngram-Jaccard path, on the
