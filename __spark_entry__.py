@@ -39,8 +39,16 @@ from bbcrawl_spark.sources import sitemap as sitemap_mod
 # ---------------------------------------------------------------------------
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _read(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool = True
+) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if not spread:
+        # opt-out for queries whose per-row work is a hash or a filter:
+        # there the exchange costs more than the parallelism buys
+        # (measured on incremental_dedup: 0.31s unspread vs 0.76s spread
+        # at sf0.1, a wash at sf1.0)
+        return df
     # The sf tables are single parquet files, so the scan yields 1-2 input
     # splits and every expression-heavy query riding it runs near-serial
     # (r6 profile: q_corpus_clean spent 15 s of CPU in a 2-task stage at
@@ -1187,7 +1195,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same contract as the incremental Bloom seen-set. Oracle: NOT EXISTS
     anti-join on the normalized text itself (Spark anti-joins the 8-byte
     hash — cross-representation)."""
-    d = _read(spark, sf_dir, "documents")
+    d = _read(spark, sf_dir, "documents", spread=False)
     new = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.when(F.col("doc_id") % 5 == 0, F.col("text"))
